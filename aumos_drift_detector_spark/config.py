@@ -1,0 +1,50 @@
+"""Engine configuration: thresholds, binning, and exact-vs-approx policy.
+
+Default thresholds mirror the reference's settings (reference settings.py:24-56
+and per-test defaults: PSI 0.2 / warning 0.1, p-value tests 0.05, JS/Hellinger/
+Wasserstein 0.1, MMD 0.05).
+
+`approx` switches the quantile/distinct machinery between exact (test parity
+with numpy: Spark `percentile`, `count_distinct`) and sketch-based
+(`percentile_approx` t-digest-style, `approx_count_distinct` HLL) for the
+10^12-row design point. See SURVEY.md §4.3.2.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # drift thresholds (reference defaults)
+    psi_threshold: float = 0.2
+    psi_warning_threshold: float = 0.1
+    ks_threshold: float = 0.05
+    chi2_threshold: float = 0.05
+    js_threshold: float = 0.1
+    hellinger_threshold: float = 0.1
+    wasserstein_threshold: float = 0.1
+    mmd_threshold: float = 0.05
+
+    # binning
+    psi_bins: int = 10        # reference psi.py num_bins default
+    hist_bins: int = 20       # reference baseline_manager/jensen_shannon/hellinger
+
+    # physical policy
+    approx: bool = False              # exact quantiles/distinct for test parity
+    approx_percentile_accuracy: int = 10000
+    salt_buckets: int = 16            # salting fan-out for skewed aggregations
+    broadcast_dim_threshold: int = 10_000_000  # bytes; hint only
+
+    # concept drift defaults (reference adwin.py/ddm.py)
+    adwin_delta: float = 0.002
+    ddm_warning_level: float = 2.0
+    ddm_drift_level: float = 3.0
+    ddm_min_instances: int = 30
+    eddm_warning_level: float = 0.95
+    eddm_drift_level: float = 0.90
+    eddm_min_errors: int = 30
+
+
+DEFAULT_CONFIG = EngineConfig()

@@ -1,0 +1,575 @@
+"""Distributed two-sample drift tests (SURVEY §2.4).
+
+Architecture: every test is `distributed sketch aggregation -> tiny driver
+kernel`. Spark does the heavy pass (one shuffle: a groupBy or one window sort
+per group); the per-group finalization operates on k-element arrays
+(k = bins or distinct categories), so collecting it is O(groups x k) — bytes,
+not data. This is the Spark-first restatement of the reference's numpy
+kernels (reference adapters/statistical_tests/*.py), NOT a row-at-a-time port.
+
+Grouped variants compute verdicts for every group (e.g. every `source`
+partition) in ONE job over the full table. Ungrouped variants mirror the
+reference's single-pair API including its ValueError semantics
+(empty-after-clean, constant reference).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from aumos_drift_detector_spark.config import DEFAULT_CONFIG, EngineConfig
+from aumos_drift_detector_spark.functions.kernels import (
+    DriftVerdict,
+    chi2_from_counts,
+    hellinger_from_counts,
+    js_from_counts,
+    ks_verdict,
+    psi_from_counts,
+)
+from aumos_drift_detector_spark.operators.profile import (
+    _finite,
+    bucket_by_edges,
+    quantile_edges,
+)
+
+_REF, _PROD = 0, 1
+
+
+def _sides(
+    ref_df: DataFrame,
+    prod_df: DataFrame,
+    column: str,
+    group_cols: Sequence[str],
+    cast_double: bool = True,
+) -> DataFrame:
+    """Union (ref, prod) into (group_cols..., side, v) with finite filtering."""
+    def prep(df: DataFrame, side: int) -> DataFrame:
+        v = _finite(F.col(column)) if cast_double else F.col(column)
+        return df.select(
+            *group_cols, F.lit(side).alias("side"), v.alias("v")
+        ).where(F.col("v").isNotNull())
+
+    return prep(ref_df, _REF).unionByName(prep(prod_df, _PROD))
+
+
+def _group_key(row: pd.Series, group_cols: Sequence[str]):
+    return tuple(row[g] for g in group_cols)
+
+
+def _verdict_frame(
+    verdicts: list[tuple[tuple, DriftVerdict | None, str | None]],
+    group_cols: Sequence[str],
+) -> pd.DataFrame:
+    """Flatten (group_key, verdict, error) triples into a pandas frame."""
+    rows = []
+    for key, v, err in verdicts:
+        row = dict(zip(group_cols, key))
+        if v is not None:
+            row.update(
+                test=v.test,
+                score=v.score,
+                threshold=v.threshold,
+                is_drifted=v.is_drifted,
+                p_value=v.p_value,
+                reference_size=v.reference_size,
+                production_size=v.production_size,
+                feature=v.feature_name,
+                error=None,
+            )
+        else:
+            row.update(
+                test=None, score=None, threshold=None, is_drifted=None,
+                p_value=None, reference_size=None, production_size=None,
+                feature=None, error=err,
+            )
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# PSI
+# ---------------------------------------------------------------------------
+
+def psi_test_grouped(
+    ref_df: DataFrame,
+    prod_df: DataFrame,
+    column: str,
+    group_cols: Sequence[str] = (),
+    threshold: float | None = None,
+    n_bins: int | None = None,
+    config: EngineConfig = DEFAULT_CONFIG,
+) -> pd.DataFrame:
+    """PSI per group: ref-quantile bins (±inf caps) -> histogram both sides.
+
+    Two distributed passes (psi.py:154-162 protocol):
+      1. exact/approx quantile edges + distinct count from the reference side
+      2. bucket both sides against broadcast edges, groupBy(group, side, bin)
+    Finalization on (groups x 2 x n_bins) counts driver-side.
+    """
+    threshold = config.psi_threshold if threshold is None else threshold
+    n_bins = config.psi_bins if n_bins is None else n_bins
+
+    edges = quantile_edges(ref_df, column, n_bins, group_cols, config)
+    # inner edges drop the 0% and 100% quantiles (±inf caps replace them)
+    edges = edges.select(
+        *group_cols,
+        F.slice(F.col("edges"), 2, n_bins - 1).alias("inner_edges"),
+        F.col("edges"),
+        "ref_distinct",
+    )
+    sides = _sides(ref_df, prod_df, column, group_cols)
+    joined = (
+        sides.join(F.broadcast(edges), list(group_cols), "inner")
+        if group_cols
+        else sides.crossJoin(F.broadcast(edges))
+    )
+    counts = (
+        joined.withColumn("bin", bucket_by_edges(F.col("v"), F.col("inner_edges")))
+        .groupBy(*group_cols, "side", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.first("edges").alias("edges"),
+            F.first("ref_distinct").alias("ref_distinct"),
+        )
+    )
+    pdf = counts.toPandas()
+
+    verdicts = []
+    keys = (
+        pdf[list(group_cols)].drop_duplicates().itertuples(index=False, name=None)
+        if group_cols
+        else [()]
+    )
+    for key in keys:
+        sub = pdf
+        for g, kv in zip(group_cols, key):
+            sub = sub[sub[g] == kv]
+        if sub.empty:
+            verdicts.append((key, None, "no data"))
+            continue
+        if int(sub["ref_distinct"].iloc[0]) <= 1:
+            verdicts.append(
+                (key, None, "Reference distribution is constant — PSI requires variance")
+            )
+            continue
+        rc = np.zeros(n_bins, dtype=np.int64)
+        pc = np.zeros(n_bins, dtype=np.int64)
+        for _, r in sub.iterrows():
+            b = int(r["bin"])
+            if r["side"] == _REF:
+                rc[b] += int(r["cnt"])
+            else:
+                pc[b] += int(r["cnt"])
+        if rc.sum() == 0:
+            verdicts.append((key, None, "Reference dataset is empty after removing NaN/inf"))
+            continue
+        if pc.sum() == 0:
+            verdicts.append((key, None, "Production dataset is empty after removing NaN/inf"))
+            continue
+        edges_arr = sub["edges"].iloc[0]
+        v = psi_from_counts(rc, pc, threshold, bin_edges=edges_arr, feature_name=column)
+        verdicts.append((key, v, None))
+    return _verdict_frame(verdicts, group_cols)
+
+
+def psi_test(
+    ref_df: DataFrame,
+    prod_df: DataFrame,
+    column: str,
+    threshold: float | None = None,
+    n_bins: int | None = None,
+    config: EngineConfig = DEFAULT_CONFIG,
+) -> DriftVerdict:
+    """Single-pair PSI with the reference's ValueError semantics (psi.py:145-152)."""
+    threshold = config.psi_threshold if threshold is None else threshold
+    n_bins = config.psi_bins if n_bins is None else n_bins
+    frame = psi_test_grouped(ref_df, prod_df, column, (), threshold, n_bins, config)
+    return _single(frame, "psi", threshold, column)
+
+
+# ---------------------------------------------------------------------------
+# KS
+# ---------------------------------------------------------------------------
+
+def ks_test_grouped(
+    ref_df: DataFrame,
+    prod_df: DataFrame,
+    column: str,
+    group_cols: Sequence[str] = (),
+    threshold: float | None = None,
+    config: EngineConfig = DEFAULT_CONFIG,
+) -> pd.DataFrame:
+    """Exact distributed KS statistic per group.
+
+    Pre-aggregates to per-(group, distinct value) counts — at token scale the
+    distinct-value set per group is tiny vs. row count — then one window sort
+    per group computes both ECDFs cumulatively; D = max |F_ref - F_prod|.
+    """
+    threshold = config.ks_threshold if threshold is None else threshold
+    sides = _sides(ref_df, prod_df, column, group_cols)
+    per_value = sides.groupBy(*group_cols, "v").agg(
+        F.sum(F.when(F.col("side") == _REF, 1).otherwise(0)).alias("c_ref"),
+        F.sum(F.when(F.col("side") == _PROD, 1).otherwise(0)).alias("c_prod"),
+    )
+    w = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy(*[F.col(g) for g in group_cols])
+    cum = per_value.select(
+        *group_cols,
+        F.sum("c_ref").over(w).alias("cum_ref"),
+        F.sum("c_prod").over(w).alias("cum_prod"),
+    ).select(
+        *group_cols,
+        "cum_ref",
+        "cum_prod",
+        F.max("cum_ref").over(wall).alias("n_ref"),
+        F.max("cum_prod").over(wall).alias("n_prod"),
+    )
+    stats = cum.groupBy(*group_cols).agg(
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_prod").alias("n_prod"),
+        F.max(
+            F.abs(
+                F.try_divide(F.col("cum_ref"), F.col("n_ref"))
+                - F.try_divide(F.col("cum_prod"), F.col("n_prod"))
+            )
+        ).alias("d"),
+    )
+    pdf = stats.toPandas()
+    verdicts = []
+    for _, r in pdf.iterrows():
+        key = tuple(r[g] for g in group_cols)
+        n, m = int(r["n_ref"] or 0), int(r["n_prod"] or 0)
+        if n == 0:
+            verdicts.append((key, None, "Reference dataset contains only NaN/inf values"))
+        elif m == 0:
+            verdicts.append((key, None, "Production dataset contains only NaN/inf values"))
+        else:
+            verdicts.append((key, ks_verdict(float(r["d"]), n, m, threshold, column), None))
+    if not pdf.shape[0] and not group_cols:
+        verdicts.append(((), None, "Reference dataset contains only NaN/inf values"))
+    return _verdict_frame(verdicts, group_cols)
+
+
+def ks_test(
+    ref_df: DataFrame,
+    prod_df: DataFrame,
+    column: str,
+    threshold: float | None = None,
+    config: EngineConfig = DEFAULT_CONFIG,
+) -> DriftVerdict:
+    threshold = config.ks_threshold if threshold is None else threshold
+    frame = ks_test_grouped(ref_df, prod_df, column, (), threshold, config)
+    return _single(frame, "ks", threshold, column)
+
+
+# ---------------------------------------------------------------------------
+# JS / Hellinger (shared equal-width binning over the combined range)
+# ---------------------------------------------------------------------------
+
+def _binned_counts_shared_range(
+    ref_df: DataFrame,
+    prod_df: DataFrame,
+    column: str,
+    group_cols: Sequence[str],
+    n_bins: int,
+) -> pd.DataFrame:
+    """Equal-width bins over combined min/max (jensen_shannon.py:53-59)."""
+    sides = _sides(ref_df, prod_df, column, group_cols)
+    ranges = sides.groupBy(*group_cols).agg(
+        F.min("v").alias("_lo"), F.max("v").alias("_hi")
+    )
+    joined = (
+        sides.join(F.broadcast(ranges), list(group_cols), "inner")
+        if group_cols
+        else sides.crossJoin(F.broadcast(ranges))
+    )
+    # np.linspace edge semantics; degenerate lo==hi puts everything in bin 0
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
+    raw = F.floor((F.col("v") - F.col("_lo")) / width).cast("int")
+    bin_col = (
+        F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
+        .when(F.col("v") == F.col("_hi"), F.lit(n_bins - 1))
+        .otherwise(F.least(raw, F.lit(n_bins - 1)))
+    )
+    return (
+        joined.withColumn("bin", bin_col)
+        .groupBy(*group_cols, "side", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .toPandas()
+    )
+
+
+def _histogram_pair_test(
+    kernel,
+    ref_df: DataFrame,
+    prod_df: DataFrame,
+    column: str,
+    group_cols: Sequence[str],
+    threshold: float,
+    n_bins: int,
+) -> pd.DataFrame:
+    pdf = _binned_counts_shared_range(ref_df, prod_df, column, group_cols, n_bins)
+    verdicts = []
+    keys = (
+        pdf[list(group_cols)].drop_duplicates().itertuples(index=False, name=None)
+        if group_cols
+        else ([()] if not pdf.empty else [])
+    )
+    for key in keys:
+        sub = pdf
+        for g, kv in zip(group_cols, key):
+            sub = sub[sub[g] == kv]
+        rc = np.zeros(n_bins, dtype=np.int64)
+        pc = np.zeros(n_bins, dtype=np.int64)
+        for _, r in sub.iterrows():
+            (rc if r["side"] == _REF else pc)[int(r["bin"])] += int(r["cnt"])
+        if rc.sum() == 0:
+            verdicts.append((key, None, "Reference dataset is empty after removing NaN/inf"))
+        elif pc.sum() == 0:
+            verdicts.append((key, None, "Production dataset is empty after removing NaN/inf"))
+        else:
+            verdicts.append((key, kernel(rc, pc, threshold, feature_name=column), None))
+    if not verdicts and not group_cols:
+        verdicts.append(((), None, "Reference dataset is empty after removing NaN/inf"))
+    return _verdict_frame(verdicts, group_cols)
+
+
+def js_test_grouped(
+    ref_df, prod_df, column, group_cols=(), threshold=None, n_bins=None,
+    config: EngineConfig = DEFAULT_CONFIG,
+) -> pd.DataFrame:
+    threshold = config.js_threshold if threshold is None else threshold
+    n_bins = config.hist_bins if n_bins is None else n_bins
+    return _histogram_pair_test(
+        js_from_counts, ref_df, prod_df, column, group_cols, threshold, n_bins
+    )
+
+
+def js_test(ref_df, prod_df, column, threshold=None, n_bins=None,
+            config: EngineConfig = DEFAULT_CONFIG) -> DriftVerdict:
+    threshold = config.js_threshold if threshold is None else threshold
+    frame = js_test_grouped(ref_df, prod_df, column, (), threshold, n_bins, config)
+    return _single(frame, "jensen_shannon", threshold, column)
+
+
+def hellinger_test_grouped(
+    ref_df, prod_df, column, group_cols=(), threshold=None, n_bins=None,
+    config: EngineConfig = DEFAULT_CONFIG,
+) -> pd.DataFrame:
+    threshold = config.hellinger_threshold if threshold is None else threshold
+    n_bins = config.hist_bins if n_bins is None else n_bins
+    return _histogram_pair_test(
+        hellinger_from_counts, ref_df, prod_df, column, group_cols, threshold, n_bins
+    )
+
+
+def hellinger_test(ref_df, prod_df, column, threshold=None, n_bins=None,
+                   config: EngineConfig = DEFAULT_CONFIG) -> DriftVerdict:
+    threshold = config.hellinger_threshold if threshold is None else threshold
+    frame = hellinger_test_grouped(ref_df, prod_df, column, (), threshold, n_bins, config)
+    return _single(frame, "hellinger", threshold, column)
+
+
+# ---------------------------------------------------------------------------
+# Wasserstein-1
+# ---------------------------------------------------------------------------
+
+def wasserstein_test_grouped(
+    ref_df: DataFrame,
+    prod_df: DataFrame,
+    column: str,
+    group_cols: Sequence[str] = (),
+    threshold: float | None = None,
+    config: EngineConfig = DEFAULT_CONFIG,
+) -> pd.DataFrame:
+    """IQR-normalized W1 per group, computed as the exact CDF-gap integral.
+
+    W1 = Σ_i |F_ref(v_i) − F_prod(v_i)| · (v_{i+1} − v_i) over sorted distinct
+    union values — identical to scipy.stats.wasserstein_distance. Same
+    pre-aggregate + single window sort structure as KS; the IQR (fallback
+    population std, fallback 1.0 — wasserstein.py:52-56) fuses into the same job.
+    """
+    threshold = config.wasserstein_threshold if threshold is None else threshold
+    sides = _sides(ref_df, prod_df, column, group_cols)
+    per_value = sides.groupBy(*group_cols, "v").agg(
+        F.sum(F.when(F.col("side") == _REF, 1).otherwise(0)).alias("c_ref"),
+        F.sum(F.when(F.col("side") == _PROD, 1).otherwise(0)).alias("c_prod"),
+    )
+    wcum = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy(*[F.col(g) for g in group_cols])
+    word = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy("v")
+    cum = per_value.select(
+        *group_cols,
+        F.col("v"),
+        F.sum("c_ref").over(wcum).alias("cum_ref"),
+        F.sum("c_prod").over(wcum).alias("cum_prod"),
+    ).select(
+        *group_cols,
+        "v",
+        "cum_ref",
+        "cum_prod",
+        (F.lead("v").over(word) - F.col("v")).alias("dv"),
+        F.max("cum_ref").over(wall).alias("n_ref"),
+        F.max("cum_prod").over(wall).alias("n_prod"),
+    )
+    dist = cum.groupBy(*group_cols).agg(
+        F.sum(
+            F.abs(
+                F.try_divide(F.col("cum_ref"), F.col("n_ref"))
+                - F.try_divide(F.col("cum_prod"), F.col("n_prod"))
+            )
+            * F.coalesce(F.col("dv"), F.lit(0.0))
+        ).alias("w1"),
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_prod").alias("n_prod"),
+    )
+    # reference-side IQR + population std for normalization
+    refstats = ref_df.select(_finite(F.col(column)).alias("v")).where(
+        F.col("v").isNotNull()
+    )
+    if group_cols:
+        refstats = ref_df.select(
+            *group_cols, _finite(F.col(column)).alias("v")
+        ).where(F.col("v").isNotNull())
+    iqr_agg = refstats.groupBy(*group_cols).agg(
+        F.percentile(F.col("v"), F.array(F.lit(0.25), F.lit(0.75))).alias("q"),
+        F.stddev_pop("v").alias("std"),
+    )
+    joined = (
+        dist.join(iqr_agg, list(group_cols), "left") if group_cols
+        else dist.crossJoin(iqr_agg)
+    )
+    pdf = joined.toPandas()
+    verdicts = []
+    for _, r in pdf.iterrows():
+        key = tuple(r[g] for g in group_cols)
+        n, m = int(r["n_ref"] or 0), int(r["n_prod"] or 0)
+        if n == 0 or m == 0:
+            verdicts.append((key, None, "empty side after removing NaN/inf"))
+            continue
+        q = r["q"]
+        iqr = float(q[1] - q[0]) if q is not None else 0.0
+        if iqr < 1e-10:
+            iqr = float(r["std"] or 0.0) or 1.0
+        score = float(r["w1"]) / iqr
+        verdicts.append(
+            (
+                key,
+                DriftVerdict(
+                    test="wasserstein",
+                    score=score,
+                    threshold=threshold,
+                    is_drifted=bool(score > threshold),
+                    reference_size=n,
+                    production_size=m,
+                    feature_name=column,
+                    details={"raw_distance": float(r["w1"]), "iqr": iqr},
+                ),
+                None,
+            )
+        )
+    if not verdicts and not group_cols:
+        verdicts.append(((), None, "empty side after removing NaN/inf"))
+    return _verdict_frame(verdicts, group_cols)
+
+
+def wasserstein_test(ref_df, prod_df, column, threshold=None,
+                     config: EngineConfig = DEFAULT_CONFIG) -> DriftVerdict:
+    threshold = config.wasserstein_threshold if threshold is None else threshold
+    frame = wasserstein_test_grouped(ref_df, prod_df, column, (), threshold, config)
+    return _single(frame, "wasserstein", threshold, column)
+
+
+# ---------------------------------------------------------------------------
+# Chi-squared (categorical)
+# ---------------------------------------------------------------------------
+
+def chi2_test_grouped(
+    ref_df: DataFrame,
+    prod_df: DataFrame,
+    column: str,
+    group_cols: Sequence[str] = (),
+    threshold: float | None = None,
+    config: EngineConfig = DEFAULT_CONFIG,
+) -> pd.DataFrame:
+    """Chi-squared GoF per group over category counts.
+
+    Category alignment = groupBy counts per side + pandas outer alignment
+    (the distributed analogue of the reference's sorted key-union,
+    chi_squared.py:140-149). Values are cast to string (chi_squared.py:194).
+    """
+    threshold = config.chi2_threshold if threshold is None else threshold
+    sides = _sides(ref_df, prod_df, column, group_cols, cast_double=False)
+    counts = (
+        sides.withColumn("v", F.col("v").cast("string"))
+        .groupBy(*group_cols, "side", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pdf = counts.toPandas()
+    verdicts = []
+    keys = (
+        pdf[list(group_cols)].drop_duplicates().itertuples(index=False, name=None)
+        if group_cols
+        else ([()] if not pdf.empty else [])
+    )
+    for key in keys:
+        sub = pdf
+        for g, kv in zip(group_cols, key):
+            sub = sub[sub[g] == kv]
+        ref_counts = dict(zip(sub[sub["side"] == _REF]["v"], sub[sub["side"] == _REF]["cnt"]))
+        prod_counts = dict(zip(sub[sub["side"] == _PROD]["v"], sub[sub["side"] == _PROD]["cnt"]))
+        cats = sorted(set(ref_counts) | set(prod_counts))
+        if not ref_counts:
+            verdicts.append((key, None, "reference_counts must not be empty"))
+            continue
+        try:
+            v = chi2_from_counts(
+                cats,
+                [int(ref_counts.get(c, 0)) for c in cats],
+                [int(prod_counts.get(c, 0)) for c in cats],
+                threshold,
+                feature_name=column,
+            )
+            verdicts.append((key, v, None))
+        except ValueError as e:
+            verdicts.append((key, None, str(e)))
+    if not verdicts and not group_cols:
+        verdicts.append(((), None, "reference_counts must not be empty"))
+    return _verdict_frame(verdicts, group_cols)
+
+
+def chi2_test(ref_df, prod_df, column, threshold=None,
+              config: EngineConfig = DEFAULT_CONFIG) -> DriftVerdict:
+    threshold = config.chi2_threshold if threshold is None else threshold
+    frame = chi2_test_grouped(ref_df, prod_df, column, (), threshold, config)
+    return _single(frame, "chi_squared", threshold, column)
+
+
+# ---------------------------------------------------------------------------
+
+def _single(frame: pd.DataFrame, test: str, threshold: float, column: str) -> DriftVerdict:
+    """Unwrap a 1-row grouped frame, re-raising errors like the reference."""
+    if frame.empty:
+        raise ValueError("Reference dataset must not be empty")
+    row = frame.iloc[0]
+    if row["error"] is not None:
+        raise ValueError(row["error"])
+    return DriftVerdict(
+        test=test,
+        score=float(row["score"]),
+        threshold=float(row["threshold"]),
+        is_drifted=bool(row["is_drifted"]),
+        p_value=None if pd.isna(row["p_value"]) else float(row["p_value"]),
+        reference_size=int(row["reference_size"]),
+        production_size=int(row["production_size"]),
+        feature_name=column,
+    )

@@ -1,0 +1,405 @@
+"""The full validation pass: constraints + drift over a token table.
+
+This is the engine's flagship job (BASELINE.json north_star): one batch pass
+over ``(doc_id, tokens, n_tok, source)`` that
+
+1. enforces schema, null-rate, uniqueness (salted two-phase agg), referential
+   integrity (broadcast anti-join), the ``n_tok <=> size(tokens)`` row
+   invariant, and token-array equality vs the baseline table (hash-prefiltered
+   equi-join);
+2. computes per-`source`-partition column profiles (single wide aggregation)
+   and distribution drift vs baseline — PSI + KS on ``n_tok``, Jensen-Shannon
+   + chi-squared on the token-id histogram;
+3. writes three parquet outputs — ``results`` (one verdict row per
+   (partition, check)), ``violations`` (exact offending rows), ``manifest``
+   (per-partition completion rows with lineage + wall time) — and **resumes**
+   from the manifest: partitions already completed for a run_id are pruned
+   from every input scan on rerun.
+
+Scale notes: all heavy passes are grouped-by-`source` single jobs (no
+per-partition job loop — 10^4 partitions would mean 10^4 job launches);
+drift finalization handles groups x bins sketch rows driver-side. The token
+histogram pass explodes tokens; ``token_sample_fraction`` bounds it at scale
+(sampling is LOGGED in the results row — no silent caps).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from typing import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aumos_drift_detector_spark.config import DEFAULT_CONFIG, EngineConfig
+from aumos_drift_detector_spark.functions.kernels import recommended_action, severity
+from aumos_drift_detector_spark.operators import constraints as C
+from aumos_drift_detector_spark.operators import drift as D
+from aumos_drift_detector_spark.operators.profile import profile_columns
+from aumos_drift_detector_spark.sources.synth import TOKEN_SCHEMA
+
+RESULTS_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType()),
+        T.StructField("partition_value", T.StringType()),
+        T.StructField("check_name", T.StringType()),
+        T.StructField("feature", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("threshold", T.DoubleType()),
+        T.StructField("is_drifted", T.BooleanType()),
+        T.StructField("severity", T.StringType()),
+        T.StructField("action", T.StringType()),
+        T.StructField("details", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("detected_at", T.TimestampType()),
+    ]
+)
+
+VIOLATIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType()),
+        T.StructField("partition_value", T.StringType()),
+        T.StructField("check_name", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("detail", T.StringType()),
+    ]
+)
+
+MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType()),
+        T.StructField("partition_value", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("rows_processed", T.LongType()),
+        T.StructField("wall_ms", T.LongType()),
+        T.StructField("lineage", T.StringType()),
+        T.StructField("completed_at", T.TimestampType()),
+    ]
+)
+
+
+@dataclass
+class ValidationReport:
+    run_id: str
+    partitions: list[str]
+    skipped_partitions: list[str]
+    results: pd.DataFrame
+    violation_counts: dict[str, int]
+    wall_ms: int
+
+
+@dataclass(frozen=True)
+class ValidationSettings:
+    partition_col: str = "source"
+    key_col: str = "doc_id"
+    tokens_col: str = "tokens"
+    ntok_col: str = "n_tok"
+    max_null_fraction: float = 0.05
+    token_sample_fraction: float = 1.0  # <1.0 bounds the explode at scale
+    run_token_histogram: bool = True
+    engine: EngineConfig = field(default_factory=lambda: DEFAULT_CONFIG)
+
+
+class ValidationRun:
+    """One resumable validation pass. See module docstring."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        current: DataFrame,
+        baseline: DataFrame,
+        sources_dim: DataFrame,
+        out_dir: str,
+        run_id: str | None = None,
+        settings: ValidationSettings = ValidationSettings(),
+    ) -> None:
+        self.spark = spark
+        self.current = current
+        self.baseline = baseline
+        self.sources_dim = sources_dim
+        self.out_dir = out_dir.rstrip("/")
+        self.run_id = run_id or uuid.uuid4().hex[:12]
+        self.s = settings
+
+    # -- manifest -----------------------------------------------------------
+
+    def _completed_partitions(self) -> set[str]:
+        try:
+            m = self.spark.read.parquet(f"{self.out_dir}/manifest")
+        except Exception:
+            return set()
+        rows = (
+            m.where((F.col("run_id") == self.run_id) & (F.col("status") == "done"))
+            .select("partition_value")
+            .distinct()
+            .collect()
+        )
+        return {r["partition_value"] for r in rows}
+
+    # -- main ---------------------------------------------------------------
+
+    def run(self, resume: bool = True) -> ValidationReport:
+        t0 = time.monotonic()
+        s = self.s
+        part = s.partition_col
+
+        all_parts = [
+            r[0]
+            for r in self.current.select(part).distinct().collect()
+        ]
+        done = self._completed_partitions() if resume else set()
+        # __global__ covers cross-partition checks (uniqueness, schema)
+        pending = sorted(p for p in all_parts if p not in done)
+        skipped = sorted(p for p in all_parts if p in done)
+
+        if not pending:
+            return ValidationReport(self.run_id, [], skipped, pd.DataFrame(), {}, 0)
+
+        cur = self.current.where(F.col(part).isin(pending))
+        base = self.baseline.where(F.col(part).isin(pending))
+        now = datetime.now(tz=timezone.utc)
+
+        results_rows: list[dict] = []
+        violation_frames: list[DataFrame] = []
+        violation_counts: dict[str, int] = {}
+
+        def record_check(res: C.CheckResult, per_partition: bool = True) -> None:
+            violation_counts[res.check_name] = res.violation_count
+            vio = res.violations
+            if "occurrences" in vio.columns:
+                vio = vio.drop("occurrences")
+            violation_frames.append(
+                vio.select(
+                    F.lit(self.run_id).alias("run_id"),
+                    F.coalesce(F.col("partition_value"), F.lit("__global__")).alias(
+                        "partition_value"
+                    ),
+                    F.lit(res.check_name).alias("check_name"),
+                    F.col("doc_id"),
+                    F.col("detail"),
+                )
+            )
+            sev = "critical" if not res.passed else "info"
+            results_rows.append(
+                dict(
+                    run_id=self.run_id,
+                    partition_value="__global__",
+                    check_name=res.check_name,
+                    feature=res.details.get("key")
+                    or res.details.get("fk")
+                    or res.details.get("predicate", ""),
+                    score=float(res.violation_count),
+                    threshold=0.0,
+                    is_drifted=not res.passed,
+                    severity=sev,
+                    action="retrain" if not res.passed else "ignore",
+                    details={k: str(v) for k, v in res.details.items()},
+                    detected_at=now,
+                )
+            )
+
+        # 1. schema (driver-side, no data)
+        record_check(C.schema_check(cur, TOKEN_SCHEMA))
+
+        # 2. null rates per partition
+        record_check(
+            C.null_rate_check(
+                cur, [s.tokens_col, s.ntok_col], s.max_null_fraction, (part,)
+            )
+        )
+
+        # 3. uniqueness (global key space; salted two-phase)
+        record_check(C.uniqueness_check(cur, s.key_col, partition_col=part, config=s.engine))
+
+        # 4. referential: source -> dim (broadcast anti-join)
+        record_check(
+            C.referential_check(
+                cur, part, self.sources_dim, part, key_col=s.key_col, partition_col=part
+            )
+        )
+
+        # 5. row invariant (null-safe so null-null rows pass; see synth docs)
+        record_check(
+            C.row_invariant_check(
+                cur,
+                f"{s.ntok_col} <=> size({s.tokens_col})",
+                name="ntok_matches_size",
+                key_col=s.key_col,
+                partition_col=part,
+            )
+        )
+
+        # 6. token-array equality vs baseline (hash-prefiltered join)
+        record_check(
+            C.token_equality_check(
+                cur, base, s.key_col, s.tokens_col, partition_col=part
+            )
+        )
+
+        # 7. per-partition profile of n_tok (single wide agg) — informational
+        prof = profile_columns(cur, [s.ntok_col], (part,), s.engine).toPandas()
+        for _, r in prof.iterrows():
+            results_rows.append(
+                dict(
+                    run_id=self.run_id,
+                    partition_value=str(r[part]),
+                    check_name="profile",
+                    feature=s.ntok_col,
+                    score=float(r["mean"]),
+                    threshold=float("nan"),
+                    is_drifted=False,
+                    severity="info",
+                    action="ignore",
+                    details={
+                        k: str(r[k])
+                        for k in (
+                            "count", "mean", "std", "min_value", "max_value",
+                            "median", "percentile_95", "null_fraction", "unique_count",
+                        )
+                    },
+                    detected_at=now,
+                )
+            )
+
+        # 8. drift per partition: PSI + KS on n_tok; JS + chi2 on token ids
+        drift_specs = [
+            ("psi", D.psi_test_grouped, {}, s.ntok_col),
+            ("ks", D.ks_test_grouped, {}, s.ntok_col),
+            ("jensen_shannon", D.js_test_grouped, {}, s.ntok_col),
+        ]
+        for test_name, fn, kw, col in drift_specs:
+            frame = fn(cur, base, col, (part,), config=s.engine, **kw)
+            self._record_drift(frame, test_name, results_rows, now, part)
+
+        if s.run_token_histogram:
+            cur_tok = cur.select(part, F.explode(s.tokens_col).alias("token_id"))
+            base_tok = base.select(part, F.explode(s.tokens_col).alias("token_id"))
+            if s.token_sample_fraction < 1.0:
+                cur_tok = cur_tok.sample(s.token_sample_fraction, seed=42)
+                base_tok = base_tok.sample(s.token_sample_fraction, seed=42)
+            js = D.js_test_grouped(
+                cur_tok.withColumn("token_id", F.col("token_id").cast("double")),
+                base_tok.withColumn("token_id", F.col("token_id").cast("double")),
+                "token_id",
+                (part,),
+                n_bins=256,
+                config=s.engine,
+            )
+            self._record_drift(
+                js, "token_hist_js", results_rows, now, part,
+                extra={"sample_fraction": str(s.token_sample_fraction)},
+            )
+            chi2 = D.chi2_test_grouped(
+                base_tok, cur_tok, "token_id", (part,), config=s.engine
+            )
+            self._record_drift(
+                chi2, "token_hist_chi2", results_rows, now, part,
+                extra={"sample_fraction": str(s.token_sample_fraction)},
+            )
+
+        # -- write outputs ----------------------------------------------------
+        results_pdf = pd.DataFrame(results_rows)
+        results_df = self.spark.createDataFrame(
+            [
+                tuple(row[f.name] for f in RESULTS_SCHEMA.fields)
+                for row in results_rows
+            ],
+            RESULTS_SCHEMA,
+        )
+        results_df.write.mode("append").parquet(f"{self.out_dir}/results")
+
+        all_vio = violation_frames[0]
+        for vf in violation_frames[1:]:
+            all_vio = all_vio.unionByName(vf)
+        all_vio.write.mode("append").parquet(f"{self.out_dir}/violations")
+
+        rows_per_part = {
+            r[0]: r[1]
+            for r in cur.groupBy(part).agg(F.count(F.lit(1))).collect()
+        }
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        lineage = json.dumps(
+            {
+                "engine": "aumos_drift_detector_spark",
+                "checks": sorted(violation_counts),
+                "inputs": {"current": "df", "baseline": "df"},
+                "settings": {
+                    "token_sample_fraction": s.token_sample_fraction,
+                    "approx": s.engine.approx,
+                },
+            }
+        )
+        manifest_rows = [
+            (
+                self.run_id, p, "done", int(rows_per_part.get(p, 0)),
+                wall_ms, lineage, datetime.now(tz=timezone.utc),
+            )
+            for p in pending
+        ]
+        self.spark.createDataFrame(manifest_rows, MANIFEST_SCHEMA).write.mode(
+            "append"
+        ).parquet(f"{self.out_dir}/manifest")
+
+        return ValidationReport(
+            run_id=self.run_id,
+            partitions=pending,
+            skipped_partitions=skipped,
+            results=results_pdf,
+            violation_counts=violation_counts,
+            wall_ms=wall_ms,
+        )
+
+    def _record_drift(
+        self,
+        frame: pd.DataFrame,
+        check_name: str,
+        results_rows: list[dict],
+        now: datetime,
+        part: str,
+        extra: dict | None = None,
+    ) -> None:
+        for _, r in frame.iterrows():
+            if r.get("error") is not None:
+                results_rows.append(
+                    dict(
+                        run_id=self.run_id,
+                        partition_value=str(r[part]),
+                        check_name=check_name,
+                        feature="",
+                        score=float("nan"),
+                        threshold=float("nan"),
+                        is_drifted=None,
+                        severity="info",
+                        action="investigate",
+                        details={"error": str(r["error"]), **(extra or {})},
+                        detected_at=now,
+                    )
+                )
+                continue
+            test = r["test"]
+            sev = severity(float(r["score"]), float(r["threshold"]), test)
+            results_rows.append(
+                dict(
+                    run_id=self.run_id,
+                    partition_value=str(r[part]),
+                    check_name=check_name,
+                    feature=str(r["feature"]),
+                    score=float(r["score"]),
+                    threshold=float(r["threshold"]),
+                    is_drifted=bool(r["is_drifted"]),
+                    severity=sev,
+                    action=recommended_action(bool(r["is_drifted"]), sev),
+                    details={
+                        "test": str(test),
+                        "reference_size": str(r["reference_size"]),
+                        "production_size": str(r["production_size"]),
+                        **(extra or {}),
+                    },
+                    detected_at=now,
+                )
+            )

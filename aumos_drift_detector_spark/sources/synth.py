@@ -1,0 +1,177 @@
+"""Deterministic synthetic token-table generation (FIXTURES.md §1).
+
+Produces the engine's primary input shape per BASELINE.json input_hint:
+``(doc_id string, tokens array<int>, n_tok int, source string)`` with a
+skewed `source` distribution and exactly-counted planted violations, so the
+test suite can assert exact per-partition pass/fail verdicts and violation
+row sets. Seeded ``numpy.random.default_rng`` throughout — same seed, same
+bytes, every run.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+VOCAB_SIZE = 50257
+SOURCES = ["web", "books", "code", "wiki"]
+SOURCE_WEIGHTS = [0.4, 0.2, 0.2, 0.2]  # web-heavy skew (north rule calls this out)
+
+TOKEN_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+        T.StructField("n_tok", T.IntegerType(), True),
+        T.StructField("source", T.StringType(), True),
+    ]
+)
+
+# planted-violation counts (FIXTURES.md §1); row-index ranges are disjoint
+N_DUPES = 50          # rows [0, 50): doc_id duplicated (extra copy appended)
+N_ORPHANS = 30        # rows [50, 80): source -> 'orphan_src'
+N_BAD_NTOK = 40       # rows [80, 120): n_tok != size(tokens)
+N_MUTATED = 25        # rows [120, 145): tokens differ from baseline
+N_NULLS = 20          # rows [145, 165): tokens & n_tok null (both tables)
+MIN_ROWS = 200
+
+
+@dataclass(frozen=True)
+class PlantedExpectations:
+    uniqueness: int = N_DUPES
+    referential: int = N_ORPHANS
+    row_invariant: int = N_BAD_NTOK
+    token_equality: int = N_MUTATED
+    null_rows: int = N_NULLS
+
+
+def _base_frame(
+    n_rows: int,
+    seed: int,
+    ntok_mu: float,
+    zipf_a: float,
+) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    doc_ids = np.array([f"doc{i:09d}" for i in range(n_rows)])
+    sources = rng.choice(SOURCES, size=n_rows, p=SOURCE_WEIGHTS)
+    n_tok = np.clip(rng.lognormal(ntok_mu, 0.6, n_rows), 1, 2048).astype(np.int32)
+    tokens = [
+        ((rng.zipf(zipf_a, size=k) - 1) % VOCAB_SIZE).astype(np.int32)
+        for k in n_tok
+    ]
+    return pd.DataFrame(
+        {"doc_id": doc_ids, "tokens": tokens, "n_tok": n_tok, "source": sources}
+    )
+
+
+def generate_token_tables(
+    spark: SparkSession,
+    n_rows: int = 100_000,
+    seed: int = 42,
+    plant_violations: bool = True,
+    drifted: bool = False,
+) -> tuple[DataFrame, DataFrame, DataFrame, PlantedExpectations]:
+    """Build (current, baseline, sources_dim, expectations).
+
+    baseline = the pristine generated table. current = same rows with the
+    FIXTURES.md violation set planted (plus duplicated rows appended).
+    ``drifted=True`` regenerates current with n_tok ~ LogNormal(mu=5.5) and
+    Zipf exponent 1.4 (PSI >= 0.2 / KS p < 0.05 / token-histogram drift vs
+    the mu=5.0 / a=1.2 baseline — mirrors the reference's shift tests).
+    """
+    if n_rows < MIN_ROWS:
+        raise ValueError(f"n_rows must be >= {MIN_ROWS} to hold planted violations")
+
+    base_pdf = _base_frame(n_rows, seed, ntok_mu=5.0, zipf_a=1.2)
+
+    if drifted:
+        cur_pdf = _base_frame(n_rows, seed + 1, ntok_mu=5.5, zipf_a=1.4)
+        cur_pdf["doc_id"] = base_pdf["doc_id"].to_numpy()  # keep key alignment
+        cur_pdf["source"] = base_pdf["source"].to_numpy()
+    else:
+        cur_pdf = base_pdf.copy(deep=True)
+        cur_pdf["tokens"] = [t.copy() for t in base_pdf["tokens"]]
+
+    if plant_violations:
+        mut_rng = np.random.default_rng(seed + 1000)
+        lo = 0
+        dup_rows = cur_pdf.iloc[lo : lo + N_DUPES].copy()
+        lo += N_DUPES
+        cur_pdf.loc[lo : lo + N_ORPHANS - 1, "source"] = "orphan_src"
+        lo += N_ORPHANS
+        cur_pdf.loc[lo : lo + N_BAD_NTOK - 1, "n_tok"] = (
+            cur_pdf.loc[lo : lo + N_BAD_NTOK - 1, "n_tok"] + 7
+        )
+        lo += N_BAD_NTOK
+        for i in range(lo, lo + N_MUTATED):
+            arr = cur_pdf.at[i, "tokens"].copy()
+            arr[0] = (arr[0] + 1) % VOCAB_SIZE
+            cur_pdf.at[i, "tokens"] = arr
+        lo += N_MUTATED
+        null_idx = list(range(lo, lo + N_NULLS))
+        for pdf in (cur_pdf, base_pdf):
+            for i in null_idx:
+                pdf.at[i, "tokens"] = None
+            pdf.loc[null_idx, "n_tok"] = None
+        cur_pdf = pd.concat([cur_pdf, dup_rows], ignore_index=True)
+
+    def to_sdf(pdf: pd.DataFrame) -> DataFrame:
+        recs = [
+            (
+                r.doc_id,
+                None if r.tokens is None else [int(x) for x in r.tokens],
+                None if pd.isna(r.n_tok) else int(r.n_tok),
+                r.source,
+            )
+            for r in pdf.itertuples(index=False)
+        ]
+        return spark.createDataFrame(recs, TOKEN_SCHEMA)
+
+    sources_dim = spark.createDataFrame(
+        [(s,) for s in SOURCES],
+        T.StructType([T.StructField("source", T.StringType(), False)]),
+    )
+    return to_sdf(cur_pdf), to_sdf(base_pdf), sources_dim, PlantedExpectations()
+
+
+def write_token_tables_parquet(
+    spark: SparkSession,
+    out_dir: str,
+    n_rows: int = 1_000_000,
+    seed: int = 42,
+    drifted: bool = False,
+    chunk_rows: int = 250_000,
+) -> None:
+    """Materialize current/baseline/sources_dim parquet for bench runs.
+
+    Writes in deterministic chunks (chunk seed = seed*100_003 + chunk index)
+    so large tables build without holding everything in driver memory;
+    current/baseline stay row-aligned per chunk. Partitioned by `source` —
+    the engine's partition column at scale.
+    """
+    import os
+
+    n_chunks = (n_rows + chunk_rows - 1) // chunk_rows
+    for ci in range(n_chunks):
+        rows = min(chunk_rows, n_rows - ci * chunk_rows)
+        cur, base, dim, _ = generate_token_tables(
+            spark,
+            rows,
+            seed=seed * 100_003 + ci,
+            plant_violations=(ci == 0),  # exact planted counts once per table
+            drifted=drifted,
+        )
+        # re-prefix doc ids per chunk to keep global uniqueness
+        from pyspark.sql import functions as F
+
+        prefix = F.lit(f"c{ci:04d}_")
+        cur = cur.withColumn("doc_id", F.concat(prefix, F.col("doc_id")))
+        base = base.withColumn("doc_id", F.concat(prefix, F.col("doc_id")))
+        mode = "overwrite" if ci == 0 else "append"
+        cur.write.mode(mode).partitionBy("source").parquet(os.path.join(out_dir, "tokens_current"))
+        base.write.mode(mode).partitionBy("source").parquet(os.path.join(out_dir, "tokens_baseline"))
+        if ci == 0:
+            dim.write.mode("overwrite").parquet(os.path.join(out_dir, "sources_dim"))

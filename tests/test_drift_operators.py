@@ -1,0 +1,217 @@
+"""Distributed drift-operator tests — ports of the reference statistical suites.
+
+Each test mirrors an assertion from /root/reference/tests/unit/statistical_tests/
+(test_ks_test.py, test_psi.py, test_chi_squared.py) but runs through the Spark
+operators on DataFrames, plus grouped-mode coverage the reference lacks.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from aumos_drift_detector_spark.operators import drift
+
+
+class TestKsOperator:
+    def test_identical_distributions_not_drifted(self, spark, value_df_factory):
+        # reference test_ks_test.py:18-27
+        rng = np.random.default_rng(42)
+        ref = value_df_factory(rng.normal(0, 1, 10000))
+        prod = value_df_factory(rng.normal(0, 1, 10000))
+        res = drift.ks_test(ref, prod, "value")
+        assert not res.is_drifted
+        assert res.p_value >= 0.05
+
+    def test_shifted_distribution_drifted(self, spark, value_df_factory):
+        # reference test_ks_test.py:28-37
+        rng = np.random.default_rng(0)
+        ref = value_df_factory(rng.normal(0, 1, 1000))
+        prod = value_df_factory(rng.normal(10, 1, 1000))
+        res = drift.ks_test(ref, prod, "value")
+        assert res.is_drifted
+        assert res.p_value < 0.05
+        # D > 0.5 for a 10-sigma shift; statistic reported via details in
+        # grouped mode; here verify via score path (p ~ 0)
+        assert res.p_value < 1e-10
+
+    def test_nan_removed_sizes(self, spark, value_df_factory):
+        # reference test_ks_test.py:72-79
+        ref = value_df_factory([1.0, 2.0, np.nan, 3.0, np.nan])
+        prod = value_df_factory([1.0, 2.0, 3.0])
+        res = drift.ks_test(ref, prod, "value")
+        assert res.reference_size == 3
+        assert res.production_size == 3
+
+    def test_all_nan_raises(self, spark, value_df_factory):
+        ref = value_df_factory([np.nan, np.nan])
+        prod = value_df_factory([1.0, 2.0])
+        with pytest.raises(ValueError, match="NaN/inf"):
+            drift.ks_test(ref, prod, "value")
+
+    def test_statistic_bounded(self, spark, value_df_factory):
+        # reference test_ks_test.py:102-108
+        rng = np.random.default_rng(7)
+        ref = value_df_factory(rng.normal(0, 1, 500))
+        prod = value_df_factory(rng.uniform(-3, 3, 500))
+        res = drift.ks_test(ref, prod, "value")
+        assert 0.0 <= res.p_value <= 1.0
+
+    def test_threshold_sensitivity(self, spark, value_df_factory):
+        # reference test_ks_test.py:109-119 — stricter threshold can flip verdict
+        rng = np.random.default_rng(11)
+        ref = value_df_factory(rng.normal(0, 1, 300))
+        prod = value_df_factory(rng.normal(0.25, 1, 300))
+        loose = drift.ks_test(ref, prod, "value", threshold=0.05)
+        strict = drift.ks_test(ref, prod, "value", threshold=1e-12)
+        assert not strict.is_drifted or loose.is_drifted
+
+    def test_grouped_mode(self, spark):
+        rng = np.random.default_rng(5)
+        ref = spark.createDataFrame(
+            pd.DataFrame({
+                "grp": ["a"] * 2000 + ["b"] * 2000,
+                "value": np.concatenate([rng.normal(0, 1, 2000), rng.normal(0, 1, 2000)]),
+            })
+        )
+        prod = spark.createDataFrame(
+            pd.DataFrame({
+                "grp": ["a"] * 2000 + ["b"] * 2000,
+                "value": np.concatenate([rng.normal(0, 1, 2000), rng.normal(4, 1, 2000)]),
+            })
+        )
+        frame = drift.ks_test_grouped(ref, prod, "value", ("grp",)).set_index("grp")
+        assert not frame.loc["a", "is_drifted"]
+        assert frame.loc["b", "is_drifted"]
+
+
+class TestPsiOperator:
+    def test_split_halves_near_zero(self, spark, value_df_factory):
+        # reference test_psi.py:15-22
+        rng = np.random.default_rng(1)
+        data = rng.normal(0, 1, 10000)
+        res = drift.psi_test(
+            value_df_factory(data[:5000]), value_df_factory(data[5000:]), "value"
+        )
+        assert res.score < 0.05
+        assert not res.is_drifted
+
+    def test_five_sigma_shift(self, spark, value_df_factory):
+        # reference test_psi.py:23-31
+        rng = np.random.default_rng(2)
+        ref = value_df_factory(rng.normal(0, 1, 5000))
+        prod = value_df_factory(rng.normal(5, 1, 5000))
+        res = drift.psi_test(ref, prod, "value")
+        assert res.score >= 0.2
+        assert res.is_drifted
+
+    def test_constant_reference_raises(self, spark, value_df_factory):
+        # reference test_psi.py:74-78
+        ref = value_df_factory(np.ones(100))
+        prod = value_df_factory(np.random.default_rng(0).normal(0, 1, 100))
+        with pytest.raises(ValueError, match="constant"):
+            drift.psi_test(ref, prod, "value")
+
+    def test_matches_numpy_reference_exactly(self, spark, value_df_factory):
+        # cross-check the distributed two-pass binning against an in-memory
+        # recomputation of the reference algorithm (psi.py:154-170)
+        rng = np.random.default_rng(9)
+        ref = rng.normal(0, 1, 4000)
+        prod = rng.normal(0.5, 1.2, 3000)
+        res = drift.psi_test(value_df_factory(ref), value_df_factory(prod), "value")
+
+        edges = np.concatenate(
+            [[-np.inf], np.percentile(ref, np.linspace(0, 100, 11))[1:-1], [np.inf]]
+        )
+        rc, _ = np.histogram(ref, bins=edges)
+        pc, _ = np.histogram(prod, bins=edges)
+        rf = np.maximum(rc / rc.sum(), 1e-4)
+        pf = np.maximum(pc / pc.sum(), 1e-4)
+        expected = float(np.sum((pf - rf) * np.log(pf / rf)))
+        assert res.score == pytest.approx(expected, rel=1e-9)
+
+    def test_grouped_mode(self, spark):
+        rng = np.random.default_rng(3)
+        ref = spark.createDataFrame(
+            pd.DataFrame({
+                "src": ["x"] * 3000 + ["y"] * 3000,
+                "value": np.concatenate([rng.normal(0, 1, 3000), rng.normal(0, 1, 3000)]),
+            })
+        )
+        prod = spark.createDataFrame(
+            pd.DataFrame({
+                "src": ["x"] * 3000 + ["y"] * 3000,
+                "value": np.concatenate([rng.normal(0, 1, 3000), rng.normal(5, 1, 3000)]),
+            })
+        )
+        frame = drift.psi_test_grouped(ref, prod, "value", ("src",)).set_index("src")
+        assert not frame.loc["x", "is_drifted"]
+        assert frame.loc["y", "is_drifted"]
+
+
+class TestChi2Operator:
+    def _cat_df(self, spark, counts):
+        rows = [(c,) for c, n in counts.items() for _ in range(n)]
+        return spark.createDataFrame(rows, ["category"])
+
+    def test_identical(self, spark):
+        # reference test_chi_squared.py:14-22
+        ref = self._cat_df(spark, {"A": 500, "B": 300, "C": 200})
+        res = drift.chi2_test(ref, ref, "category")
+        assert not res.is_drifted
+        assert res.p_value > 0.99
+
+    def test_inverted(self, spark):
+        # reference test_chi_squared.py:23-30
+        ref = self._cat_df(spark, {"cat": 900, "dog": 100})
+        prod = self._cat_df(spark, {"cat": 100, "dog": 900})
+        res = drift.chi2_test(ref, prod, "category")
+        assert res.is_drifted
+        assert res.p_value < 0.05
+
+    def test_new_category_drifts(self, spark):
+        # reference test_chi_squared.py:52-60
+        ref = self._cat_df(spark, {"cat": 500, "dog": 500})
+        prod = self._cat_df(spark, {"cat": 400, "dog": 400, "bird": 200})
+        res = drift.chi2_test(ref, prod, "category")
+        assert res.is_drifted
+
+
+class TestJsHellingerWassersteinOperators:
+    def test_same_not_drifted(self, spark, value_df_factory):
+        rng = np.random.default_rng(42)
+        ref = value_df_factory(rng.normal(0, 1, 5000))
+        prod = value_df_factory(rng.normal(0, 1, 5000))
+        assert not drift.js_test(ref, prod, "value").is_drifted
+        assert not drift.hellinger_test(ref, prod, "value").is_drifted
+        assert not drift.wasserstein_test(ref, prod, "value").is_drifted
+
+    def test_shifted_drifted(self, spark, value_df_factory):
+        rng = np.random.default_rng(0)
+        ref = value_df_factory(rng.normal(0, 1, 1000))
+        prod = value_df_factory(rng.normal(10, 1, 1000))
+        assert drift.js_test(ref, prod, "value").is_drifted
+        assert drift.hellinger_test(ref, prod, "value").is_drifted
+        assert drift.wasserstein_test(ref, prod, "value").is_drifted
+
+    def test_wasserstein_matches_closed_form(self, spark, value_df_factory):
+        # W1 between two point masses at 0 and 1 is exactly 1; ref IQR=0 ->
+        # fallback std=0 -> fallback 1.0 (wasserstein.py:52-56)
+        ref = value_df_factory([0.0] * 10)
+        prod = value_df_factory([1.0] * 10)
+        res = drift.wasserstein_test(ref, prod, "value")
+        assert res.score == pytest.approx(1.0)
+        assert res.is_drifted
+
+    def test_wasserstein_matches_numpy(self, spark, value_df_factory):
+        rng = np.random.default_rng(4)
+        a = rng.normal(0, 1, 800)
+        b = rng.normal(0.7, 1.3, 600)
+        res = drift.wasserstein_test(value_df_factory(a), value_df_factory(b), "value")
+        # numpy recomputation of W1 via the same CDF-gap integral
+        allv = np.sort(np.unique(np.concatenate([a, b])))
+        fa = np.searchsorted(np.sort(a), allv, side="right") / len(a)
+        fb = np.searchsorted(np.sort(b), allv, side="right") / len(b)
+        w1 = float(np.sum(np.abs(fa - fb)[:-1] * np.diff(allv)))
+        q75, q25 = np.percentile(a, [75, 25])
+        expected = w1 / float(q75 - q25)
+        assert res.score == pytest.approx(expected, rel=1e-9)
