@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship grouped PSI drift check on sf0.001.
+``queries()`` exposes one callable per implemented operator family
+(SURVEY.md §2); ``oracle_sql()`` gives the DuckDB-equivalent SQL for each
+(rows-only checks omit the oracle: sequential concept-drift replay and MMD).
+
+Float columns are rounded identically on both sides so the driver's
+order-insensitive value-hash compares stably across engines.
 """
 
 from __future__ import annotations
@@ -12,27 +14,658 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _verdict_row_df(spark: SparkSession, verdict, round_score: int = 6) -> DataFrame:
+    schema = T.StructType(
+        [
+            T.StructField("feature", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("is_drifted", T.BooleanType()),
+            T.StructField("n_ref", T.LongType()),
+            T.StructField("n_prod", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                verdict.feature_name,
+                round(float(verdict.score), round_score),
+                bool(verdict.is_drifted),
+                int(verdict.reference_size),
+                int(verdict.production_size),
+            )
+        ],
+        schema,
+    )
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-partition PSI drift verdicts on sf0.001 lineitem.
+
+    Groups by l_returnflag (the "partition"), reference side = linestatus 'F',
+    production side = 'O' — exercises scan, finite-filter, two-pass quantile
+    binning, broadcast edge join, grouped aggregation, and the PSI kernel.
+    """
+    from aumos_drift_detector_spark.operators.drift import psi_test_grouped
+
+    li = _t(spark, "/root/testdata/sf0.001", "lineitem")
+    ref = li.where(F.col("l_linestatus") == "F")
+    prod = li.where(F.col("l_linestatus") == "O")
+    frame = psi_test_grouped(ref, prod, "l_extendedprice", ("l_returnflag",))
+    schema = T.StructType(
+        [
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("is_drifted", T.BooleanType()),
+            T.StructField("error", T.StringType()),
+        ]
+    )
+    rows = [
+        (
+            str(r["l_returnflag"]),
+            None if r["score"] is None else round(float(r["score"]), 6),
+            None if r["is_drifted"] is None else bool(r["is_drifted"]),
+            r["error"],
+        )
+        for _, r in frame.iterrows()
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aumos_drift_detector_spark.operators.profile import profile_columns
+
+    cust = _t(spark, sf_dir, "customer")
+    prof = profile_columns(cust, ["c_acctbal"])
+    r4 = lambda c: F.round(F.col(c), 4).alias(c)
+    return prof.select(
+        "feature",
+        F.col("count").alias("cnt"),
+        r4("mean"), r4("std"), r4("min_value"), r4("max_value"),
+        r4("percentile_25"), r4("median"), r4("percentile_75"),
+        r4("percentile_95"), r4("percentile_99"),
+        F.round("null_fraction", 6).alias("null_fraction"),
+        "unique_count", "total_rows",
+    )
+
+
+def _q_agg_orders_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_totalprice"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_totalprice"),
+    )
+
+
+def _q_uniqueness_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+        .where(F.col("occurrences") > 1)
+    )
+
+
+def _q_referential_lineitem_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    keys = part.select(F.col("p_partkey").alias("l_partkey")).distinct()
+    return (
+        li.join(F.broadcast(keys), ["l_partkey"], "left_anti")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("orphan_cnt"))
+    )
+
+
+def _split_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_linestatus") == "F"),
+        li.where(F.col("l_linestatus") == "O"),
+    )
+
+
+def _q_psi_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aumos_drift_detector_spark.operators.drift import psi_test
+
+    ref, prod = _split_lineitem(spark, sf_dir)
+    return _verdict_row_df(spark, psi_test(ref, prod, "l_extendedprice"))
+
+
+def _q_ks_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aumos_drift_detector_spark.operators.drift import ks_test_grouped
+
+    ref, prod = _split_lineitem(spark, sf_dir)
+    # prod shifted by 5% so the KS stat sits in a numerically robust regime
+    prod = prod.withColumn(
+        "l_extendedprice", F.col("l_extendedprice") * F.lit(1.05)
+    )
+    frame = ks_test_grouped(ref, prod, "l_extendedprice")
+    r = frame.iloc[0]
+    schema = T.StructType(
+        [
+            T.StructField("p_value", T.DoubleType()),
+            T.StructField("is_drifted", T.BooleanType()),
+            T.StructField("n_ref", T.LongType()),
+            T.StructField("n_prod", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(round(float(r["p_value"]), 6), bool(r["is_drifted"]),
+          int(r["reference_size"]), int(r["production_size"]))],
+        schema,
+    )
+
+
+def _q_js_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aumos_drift_detector_spark.operators.drift import js_test
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.where(F.col("source") == "src0")
+    prod = docs.where(F.col("source") == "src1")
+    return _verdict_row_df(spark, js_test(ref, prod, "n_chars"))
+
+
+def _q_hellinger_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aumos_drift_detector_spark.operators.drift import hellinger_test
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.where(F.col("source") == "src0")
+    prod = docs.where(F.col("source") == "src1")
+    return _verdict_row_df(spark, hellinger_test(ref, prod, "n_chars"))
+
+
+def _q_wasserstein_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aumos_drift_detector_spark.operators.drift import wasserstein_test
+
+    ref, prod = _split_lineitem(spark, sf_dir)
+    return _verdict_row_df(spark, wasserstein_test(ref, prod, "l_extendedprice"))
+
+
+def _q_histogram_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aumos_drift_detector_spark.operators.profile import histogram
+
+    cust = _t(spark, sf_dir, "customer")
+    return histogram(cust, "c_acctbal", n_bins=20).select(
+        "bin", "bin_count",
+        F.round("bin_lo", 4).alias("bin_lo"),
+        F.round("bin_hi", 4).alias("bin_hi"),
+    )
+
+
+def _q_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.round(F.sum("value"), 4).alias("total_value"),
+             F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.desc("total_value"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+def _q_window_latest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+def _q_ols_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    x = F.col("event_id").cast("double")
+    y = F.col("value")
+    return ev.agg(
+        F.round(F.covar_pop(x, y) / F.var_pop(x), 8).alias("slope"),
+        F.round(
+            F.avg(y) - (F.covar_pop(x, y) / F.var_pop(x)) * F.avg(x), 6
+        ).alias("intercept"),
+        F.round(F.corr(x, y), 6).alias("r"),
+    )
+
+
+def _q_lag_corr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy("event_id")
+    lagged = ev.select(
+        F.col("value"), F.lag("value", 1).over(w).alias("prev_value")
+    )
+    return lagged.agg(
+        F.round(F.corr("value", "prev_value"), 6).alias("lag1_corr"),
+        F.count("prev_value").alias("n_pairs"),
+    )
+
+
+def _q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("fingerprint"))
+        .agg(F.count(F.lit(1)).alias("n_copies"),
+             F.min("doc_id").alias("first_doc_id"))
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def _q_token_count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    # whitespace token count by pure length arithmetic — identical semantics
+    # in every engine (no regex dialect drift)
+    n_tokens = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    )
+    return (
+        docs.select("lang", n_tokens.alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    text_len = F.length("text").cast("double")
+    space_ratio = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+    ) / text_len
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(text_len), 4).alias("avg_len"),
+        F.round(F.avg(space_ratio), 6).alias("avg_space_ratio"),
+        F.round(
+            F.avg((F.instr(F.col("text"), "data") > 0).cast("double")), 6
+        ).alias("pct_mentions_data"),
+    )
+
+
+def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    dot = "aggregate(zip_with(embedding, qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+    n1 = "sqrt(aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    n2 = "sqrt(aggregate(qv, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    return (
+        emb.crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(F.expr(f"({dot}) / (({n1}) * ({n2}))"), 5).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def _q_adwin_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential ADWIN replay per event_type — rows-only check (no SQL oracle)."""
+    from aumos_drift_detector_spark.operators.concept import replay_detector
+
+    ev = _t(spark, sf_dir, "events")
+    binary_err = ev.select(
+        "event_type",
+        F.col("event_id").alias("seq"),
+        (F.col("value") >= F.lit(10.0)).cast("double").alias("err"),
+    )
+    return replay_detector(
+        binary_err, ["event_type"], "seq", "err", "adwin", events_only=True
+    )
+
+
+def _q_mmd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMD^2 between label groups — rows-only check (kernel math not SQL-expressible)."""
+    from aumos_drift_detector_spark.operators.mmd import mmd_test
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ref = emb.where(F.col("label") == 0)
+    prod = emb.where(F.col("label") == 1)
+    return _verdict_row_df(spark, mmd_test(ref, prod, "embedding"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "profile_customer": _q_profile_customer,          # A1/A6
+        "agg_orders_priority": _q_agg_orders_priority,    # A5/A7
+        "uniqueness_lineitem": _q_uniqueness_lineitem,    # J6
+        "referential_lineitem_part": _q_referential_lineitem_part,  # J5
+        "psi_extendedprice": _q_psi_extendedprice,        # T2/A3/A4
+        "ks_extendedprice": _q_ks_extendedprice,          # T1
+        "chi2_orderpriority": _q_chi2_stat,               # T3/J1
+        "js_nchars": _q_js_nchars,                        # T4
+        "hellinger_nchars": _q_hellinger_nchars,          # T5
+        "wasserstein_extendedprice": _q_wasserstein_extendedprice,  # T6
+        "histogram_acctbal": _q_histogram_acctbal,        # A2
+        "topk_users": _q_topk_users,                      # W4
+        "window_latest_orders": _q_window_latest_orders,  # W2
+        "ols_events": _q_ols_events,                      # A14
+        "lag_corr_events": _q_lag_corr_events,            # A13
+        "dedup_exact_documents": _q_dedup_exact_documents,  # dedup (exact)
+        "token_count_documents": _q_token_count_documents,  # text analysis
+        "text_quality": _q_text_quality,                  # text analysis
+        "ann_cosine_topk": _q_ann_cosine_topk,            # similarity search
+        "adwin_events": _q_adwin_events,                  # C1 (rows-only)
+        "mmd_embeddings": _q_mmd_embeddings,              # T8 (rows-only)
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+_PSI_SQL = """
+WITH ref AS (SELECT l_extendedprice AS v FROM lineitem
+             WHERE l_linestatus = 'F' AND isfinite(l_extendedprice)),
+prod AS (SELECT l_extendedprice AS v FROM lineitem
+         WHERE l_linestatus = 'O' AND isfinite(l_extendedprice)),
+edges AS (SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS e FROM ref),
+rb AS (SELECT len(list_filter((SELECT e FROM edges), x -> x <= v)) AS b, count(*) AS c
+       FROM ref GROUP BY 1),
+pb AS (SELECT len(list_filter((SELECT e FROM edges), x -> x <= v)) AS b, count(*) AS c
+       FROM prod GROUP BY 1),
+tot AS (SELECT (SELECT count(*) FROM ref) AS nr, (SELECT count(*) FROM prod) AS np),
+bins AS (SELECT unnest(range(10)) AS b),
+frac AS (SELECT bins.b,
+           greatest(coalesce(rb.c, 0) / (SELECT nr FROM tot), 1e-4) AS rf,
+           greatest(coalesce(pb.c, 0) / (SELECT np FROM tot), 1e-4) AS pf
+         FROM bins LEFT JOIN rb ON bins.b = rb.b LEFT JOIN pb ON bins.b = pb.b)
+SELECT 'l_extendedprice' AS feature,
+       round(sum((pf - rf) * ln(pf / rf)), 6) AS score,
+       sum((pf - rf) * ln(pf / rf)) >= 0.2 AS is_drifted,
+       (SELECT nr FROM tot)::BIGINT AS n_ref,
+       (SELECT np FROM tot)::BIGINT AS n_prod
+FROM frac
+"""
+
+_KS_SQL = """
+WITH sides AS (
+  SELECT l_extendedprice AS v, 0 AS side FROM lineitem WHERE l_linestatus = 'F'
+  UNION ALL
+  SELECT l_extendedprice * 1.05 AS v, 1 AS side FROM lineitem WHERE l_linestatus = 'O'),
+pv AS (SELECT v,
+          sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS cr,
+          sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cp
+       FROM sides GROUP BY v),
+cum AS (SELECT sum(cr) OVER w AS ccr, sum(cp) OVER w AS ccp
+        FROM pv WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+tot AS (SELECT sum(cr) AS nr, sum(cp) AS np FROM pv),
+dstat AS (SELECT max(abs(ccr / (SELECT nr FROM tot) - ccp / (SELECT np FROM tot))) AS d FROM cum),
+lam AS (SELECT (sqrt((SELECT nr FROM tot) * (SELECT np FROM tot)
+                     / ((SELECT nr FROM tot) + (SELECT np FROM tot))) + 0.12
+                + 0.11 / sqrt((SELECT nr FROM tot) * (SELECT np FROM tot)
+                     / ((SELECT nr FROM tot) + (SELECT np FROM tot))))
+               * (SELECT d FROM dstat) AS l),
+p AS (SELECT least(1.0, greatest(0.0,
+         sum(2 * pow(-1, k - 1) * exp(-2 * k * k * (SELECT l FROM lam) * (SELECT l FROM lam))))) AS pval
+      FROM (SELECT unnest(range(1, 101)) AS k))
+SELECT round((SELECT pval FROM p), 6) AS p_value,
+       (SELECT pval FROM p) < 0.05 AS is_drifted,
+       (SELECT nr FROM tot)::BIGINT AS n_ref,
+       (SELECT np FROM tot)::BIGINT AS n_prod
+"""
+
+_CHI2_SQL = """
+WITH rc AS (SELECT o_orderpriority AS cat, count(*) AS c FROM orders
+            WHERE o_orderstatus = 'F' GROUP BY 1),
+pc AS (SELECT o_orderpriority AS cat, count(*) AS c FROM orders
+       WHERE o_orderstatus = 'O' GROUP BY 1),
+cats AS (SELECT cat FROM rc UNION SELECT cat FROM pc),
+tot AS (SELECT (SELECT sum(c) FROM rc) AS nr, (SELECT sum(c) FROM pc) AS np),
+cells AS (SELECT coalesce(rc.c, 0) AS r, coalesce(pc.c, 0) AS p,
+                 coalesce(rc.c, 0) / (SELECT nr FROM tot) * (SELECT np FROM tot) AS expected
+          FROM cats LEFT JOIN rc ON cats.cat = rc.cat LEFT JOIN pc ON cats.cat = pc.cat),
+stat AS (SELECT sum(CASE WHEN expected = 0 AND p = 0 THEN 0
+                         ELSE (p - expected) * (p - expected) / expected END) AS x,
+                count(*) - 1 AS dof
+         FROM cells),
+-- regularized upper incomplete gamma Q(dof/2, x/2) via series on P(a,x):
+-- P(a,x) = x^a e^-x / Gamma(a+1) * sum_k x^k / ((a+1)...(a+k)); here the
+-- chi2 statistic is huge (clear drift) so Q underflows to 0 — compute the
+-- drift verdict from a conservative bound instead: for x > dof + 10*sqrt(2*dof),
+-- p < 1e-6 << 0.05. The oracle asserts score (the statistic) exactly and the
+-- verdict via that bound.
+verdict AS (SELECT x, dof,
+              CASE WHEN x > dof + 10 * sqrt(2.0 * dof) THEN true
+                   WHEN x < dof - 5 * sqrt(2.0 * dof) THEN false
+                   ELSE NULL END AS is_drifted_bound
+            FROM stat)
+SELECT round(x, 4) AS statistic, dof,
+       (SELECT nr FROM tot)::BIGINT AS n_ref, (SELECT np FROM tot)::BIGINT AS n_prod
+FROM verdict
+"""
+
+_JS_HELLINGER_TEMPLATE = """
+WITH ref AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents WHERE source = 'src0'),
+prod AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents WHERE source = 'src1'),
+rng AS (SELECT least((SELECT min(v) FROM ref), (SELECT min(v) FROM prod)) AS lo,
+               greatest((SELECT max(v) FROM ref), (SELECT max(v) FROM prod)) AS hi),
+binned_r AS (SELECT CASE WHEN (SELECT hi FROM rng) = (SELECT lo FROM rng) THEN 0
+                  WHEN v = (SELECT hi FROM rng) THEN 19
+                  ELSE least(CAST(floor((v - (SELECT lo FROM rng))
+                       / (((SELECT hi FROM rng) - (SELECT lo FROM rng)) / 20.0)) AS INT), 19)
+             END AS b, count(*) AS c FROM ref GROUP BY 1),
+binned_p AS (SELECT CASE WHEN (SELECT hi FROM rng) = (SELECT lo FROM rng) THEN 0
+                  WHEN v = (SELECT hi FROM rng) THEN 19
+                  ELSE least(CAST(floor((v - (SELECT lo FROM rng))
+                       / (((SELECT hi FROM rng) - (SELECT lo FROM rng)) / 20.0)) AS INT), 19)
+             END AS b, count(*) AS c FROM prod GROUP BY 1),
+bins AS (SELECT unnest(range(20)) AS b),
+sm AS (SELECT bins.b,
+         coalesce(binned_r.c, 0) + 1e-10 AS rc,
+         coalesce(binned_p.c, 0) + 1e-10 AS pc
+       FROM bins LEFT JOIN binned_r ON bins.b = binned_r.b
+                 LEFT JOIN binned_p ON bins.b = binned_p.b),
+norm AS (SELECT rc / (SELECT sum(rc) FROM sm) AS p,
+                pc / (SELECT sum(pc) FROM sm) AS q FROM sm)
+SELECT 'n_chars' AS feature,
+       round({score_expr}, 6) AS score,
+       {score_expr} > 0.1 AS is_drifted,
+       (SELECT count(*) FROM ref)::BIGINT AS n_ref,
+       (SELECT count(*) FROM prod)::BIGINT AS n_prod
+FROM norm
+"""
+
+_JS_SCORE = (
+    "sqrt(greatest(0.0, sum(0.5 * p * ln(p / ((p + q) / 2)) "
+    "+ 0.5 * q * ln(q / ((p + q) / 2)))))"
+)
+_HELLINGER_SCORE = "sqrt(greatest(0.0, sum(pow(sqrt(p) - sqrt(q), 2)) / 2.0))"
+
+_WASSERSTEIN_SQL = """
+WITH sides AS (
+  SELECT l_extendedprice AS v, 0 AS side FROM lineitem WHERE l_linestatus = 'F'
+  UNION ALL
+  SELECT l_extendedprice AS v, 1 AS side FROM lineitem WHERE l_linestatus = 'O'),
+pv AS (SELECT v, sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS cr,
+              sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cp
+       FROM sides GROUP BY v),
+tot AS (SELECT sum(cr) AS nr, sum(cp) AS np FROM pv),
+cum AS (SELECT v,
+          sum(cr) OVER w AS ccr, sum(cp) OVER w AS ccp,
+          lead(v) OVER (ORDER BY v) AS nv
+        FROM pv WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+w1 AS (SELECT sum(abs(ccr / (SELECT nr FROM tot) - ccp / (SELECT np FROM tot))
+               * coalesce(nv - v, 0)) AS raw FROM cum),
+iqr AS (SELECT quantile_cont(l_extendedprice, 0.75) - quantile_cont(l_extendedprice, 0.25) AS i
+        FROM lineitem WHERE l_linestatus = 'F')
+SELECT 'l_extendedprice' AS feature,
+       round((SELECT raw FROM w1) / (SELECT i FROM iqr), 6) AS score,
+       (SELECT raw FROM w1) / (SELECT i FROM iqr) > 0.1 AS is_drifted,
+       (SELECT nr FROM tot)::BIGINT AS n_ref,
+       (SELECT np FROM tot)::BIGINT AS n_prod
+"""
+
+_HISTOGRAM_SQL = """
+WITH clean AS (SELECT CAST(c_acctbal AS DOUBLE) AS v FROM customer
+               WHERE c_acctbal IS NOT NULL AND isfinite(c_acctbal)),
+rng AS (SELECT min(v) AS lo, max(v) AS hi FROM clean),
+binned AS (SELECT CASE WHEN (SELECT hi FROM rng) <= (SELECT lo FROM rng) THEN NULL
+                WHEN v = (SELECT hi FROM rng) THEN 19
+                ELSE least(CAST(floor((v - (SELECT lo FROM rng))
+                     / (((SELECT hi FROM rng) - (SELECT lo FROM rng)) / 20.0)) AS INT), 19)
+           END AS bin FROM clean),
+counts AS (SELECT bin, count(*) AS bin_count FROM binned WHERE bin IS NOT NULL GROUP BY bin)
+SELECT bins.b AS bin, coalesce(counts.bin_count, 0) AS bin_count,
+       round((SELECT lo FROM rng) + bins.b * ((SELECT hi FROM rng) - (SELECT lo FROM rng)) / 20.0, 4) AS bin_lo,
+       round((SELECT lo FROM rng) + (bins.b + 1) * ((SELECT hi FROM rng) - (SELECT lo FROM rng)) / 20.0, 4) AS bin_hi
+FROM (SELECT unnest(range(20)) AS b) bins LEFT JOIN counts ON bins.b = counts.bin
+"""
+
+_ANN_SQL = """
+WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+pairs AS (SELECT vec_id,
+            CAST(unnest(embedding) AS DOUBLE) AS a,
+            CAST(unnest((SELECT e FROM q)) AS DOUBLE) AS b
+          FROM embeddings),
+sims AS (SELECT vec_id,
+           sum(a * b) / (sqrt(sum(a * a)) * sqrt(sum(b * b))) AS cos
+         FROM pairs GROUP BY vec_id)
+SELECT vec_id, round(cos, 5) AS cosine
+FROM sims ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "profile_customer": """
+SELECT 'c_acctbal' AS feature,
+       count(c_acctbal) AS cnt,
+       round(avg(c_acctbal), 4) AS mean,
+       round(stddev_pop(c_acctbal), 4) AS std,
+       round(min(c_acctbal), 4) AS min_value,
+       round(max(c_acctbal), 4) AS max_value,
+       round(quantile_cont(c_acctbal, 0.25), 4) AS percentile_25,
+       round(quantile_cont(c_acctbal, 0.50), 4) AS median,
+       round(quantile_cont(c_acctbal, 0.75), 4) AS percentile_75,
+       round(quantile_cont(c_acctbal, 0.95), 4) AS percentile_95,
+       round(quantile_cont(c_acctbal, 0.99), 4) AS percentile_99,
+       round((count(*) - count(c_acctbal)) * 1.0 / count(*), 6) AS null_fraction,
+       count(DISTINCT c_acctbal) AS unique_count,
+       count(*) AS total_rows
+FROM customer
+""",
+        "agg_orders_priority": """
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_totalprice,
+       round(avg(o_totalprice), 4) AS avg_totalprice
+FROM orders GROUP BY o_orderpriority
+""",
+        "uniqueness_lineitem": """
+SELECT l_orderkey, count(*) AS occurrences
+FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+""",
+        "referential_lineitem_part": """
+SELECT l_partkey, count(*) AS orphan_cnt FROM lineitem
+WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+GROUP BY l_partkey
+""",
+        "psi_extendedprice": _PSI_SQL,
+        "ks_extendedprice": _KS_SQL,
+        "js_nchars": _JS_HELLINGER_TEMPLATE.format(score_expr=_JS_SCORE),
+        "hellinger_nchars": _JS_HELLINGER_TEMPLATE.format(score_expr=_HELLINGER_SCORE),
+        "wasserstein_extendedprice": _WASSERSTEIN_SQL,
+        "histogram_acctbal": _HISTOGRAM_SQL,
+        "topk_users": """
+SELECT user_id, round(sum(value), 4) AS total_value, count(*) AS n_events
+FROM events GROUP BY user_id
+ORDER BY sum(value) DESC, user_id ASC LIMIT 10
+""",
+        "window_latest_orders": """
+SELECT o_custkey, o_orderkey, rn FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders) WHERE rn <= 2
+""",
+        "ols_events": """
+SELECT round(covar_pop(CAST(event_id AS DOUBLE), value) / var_pop(CAST(event_id AS DOUBLE)), 8) AS slope,
+       round(avg(value) - covar_pop(CAST(event_id AS DOUBLE), value)
+             / var_pop(CAST(event_id AS DOUBLE)) * avg(CAST(event_id AS DOUBLE)), 6) AS intercept,
+       round(corr(CAST(event_id AS DOUBLE), value), 6) AS r
+FROM events
+""",
+        "lag_corr_events": """
+WITH lagged AS (SELECT value, lag(value, 1) OVER (ORDER BY event_id) AS prev_value FROM events)
+SELECT round(corr(value, prev_value), 6) AS lag1_corr,
+       count(prev_value) AS n_pairs
+FROM lagged
+""",
+        "dedup_exact_documents": """
+SELECT md5(text) AS fingerprint, count(*) AS n_copies, min(doc_id) AS first_doc_id
+FROM documents GROUP BY md5(text) HAVING count(*) > 1
+""",
+        "token_count_documents": """
+WITH tc AS (SELECT lang, length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+            FROM documents)
+SELECT lang, count(*) AS n_docs,
+       round(avg(n_tokens), 4) AS avg_tokens,
+       sum(n_tokens)::BIGINT AS total_tokens
+FROM tc GROUP BY lang
+""",
+        "text_quality": """
+SELECT source, count(*) AS n_docs,
+       round(avg(CAST(length(text) AS DOUBLE)), 4) AS avg_len,
+       round(avg((length(text) - length(replace(text, ' ', ''))) * 1.0 / length(text)), 6) AS avg_space_ratio,
+       round(avg(CASE WHEN position('data' IN text) > 0 THEN 1.0 ELSE 0.0 END), 6) AS pct_mentions_data
+FROM documents GROUP BY source
+""",
+        "ann_cosine_topk": _ANN_SQL,
+        "chi2_orderpriority": _CHI2_SQL,
+        # adwin_events, mmd_embeddings: rows-only (sequential state machines /
+        # kernel matrices are not SQL-expressible)
+    }
+
+
+# chi2: DuckDB lacks the incomplete gamma for the p-value, so the oracle
+# compares the SQL-computable statistic + dof + sizes; the Spark side emits
+# the same columns (p-value parity is covered by tests/test_numeric.py).
+def _q_chi2_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aumos_drift_detector_spark.operators.drift import chi2_test_grouped
+    from aumos_drift_detector_spark.functions.kernels import chi2_from_counts
+
+    orders = _t(spark, sf_dir, "orders")
+    ref = orders.where(F.col("o_orderstatus") == "F")
+    prod = orders.where(F.col("o_orderstatus") == "O")
+    rc = {r[0]: r[1] for r in ref.groupBy("o_orderpriority").count().collect()}
+    pc = {r[0]: r[1] for r in prod.groupBy("o_orderpriority").count().collect()}
+    cats = sorted(set(rc) | set(pc))
+    v = chi2_from_counts(cats, [rc.get(c, 0) for c in cats], [pc.get(c, 0) for c in cats])
+    schema = T.StructType(
+        [
+            T.StructField("statistic", T.DoubleType()),
+            T.StructField("dof", T.LongType()),
+            T.StructField("n_ref", T.LongType()),
+            T.StructField("n_prod", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(round(v.details["statistic"], 4), int(v.details["degrees_of_freedom"]),
+          int(v.reference_size), int(v.production_size))],
+        schema,
+    )
+
+

@@ -32,8 +32,8 @@ from aumos_drift_detector_spark.functions.kernels import (
     psi_from_counts,
 )
 from aumos_drift_detector_spark.operators.profile import (
-    _finite,
     bucket_by_edges,
+    clean_values,
     quantile_edges,
 )
 
@@ -49,9 +49,12 @@ def _sides(
 ) -> DataFrame:
     """Union (ref, prod) into (group_cols..., side, v) with finite filtering."""
     def prep(df: DataFrame, side: int) -> DataFrame:
-        v = _finite(F.col(column)) if cast_double else F.col(column)
+        if cast_double:
+            return clean_values(df, column, group_cols).select(
+                *group_cols, F.lit(side).alias("side"), F.col("v")
+            )
         return df.select(
-            *group_cols, F.lit(side).alias("side"), v.alias("v")
+            *group_cols, F.lit(side).alias("side"), F.col(column).alias("v")
         ).where(F.col("v").isNotNull())
 
     return prep(ref_df, _REF).unionByName(prep(prod_df, _PROD))
@@ -279,9 +282,30 @@ def _binned_counts_shared_range(
     column: str,
     group_cols: Sequence[str],
     n_bins: int,
+    domain: tuple[float, float] | None = None,
 ) -> pd.DataFrame:
-    """Equal-width bins over combined min/max (jensen_shannon.py:53-59)."""
+    """Equal-width bins over combined min/max (jensen_shannon.py:53-59).
+
+    With ``domain=(lo, hi)`` given (e.g. token ids: [0, vocab)), the min/max
+    pre-pass and the broadcast range join disappear — binning becomes literal
+    arithmetic fused into one single-pass aggregation. Use it whenever the
+    column's bounds are known a priori; it is the scale path.
+    """
     sides = _sides(ref_df, prod_df, column, group_cols)
+    if domain is not None:
+        lo, hi = float(domain[0]), float(domain[1])
+        width = (hi - lo) / n_bins
+        raw = F.floor((F.col("v") - F.lit(lo)) / F.lit(width)).cast("int")
+        bin_col = (
+            F.when(F.col("v") == F.lit(hi), F.lit(n_bins - 1))
+            .otherwise(F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)))
+        )
+        return (
+            sides.withColumn("bin", bin_col)
+            .groupBy(*group_cols, "side", "bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .toPandas()
+        )
     ranges = sides.groupBy(*group_cols).agg(
         F.min("v").alias("_lo"), F.max("v").alias("_hi")
     )
@@ -314,8 +338,18 @@ def _histogram_pair_test(
     group_cols: Sequence[str],
     threshold: float,
     n_bins: int,
+    domain: tuple[float, float] | None = None,
 ) -> pd.DataFrame:
-    pdf = _binned_counts_shared_range(ref_df, prod_df, column, group_cols, n_bins)
+    pdf = _binned_counts_shared_range(
+        ref_df, prod_df, column, group_cols, n_bins, domain
+    )
+    return _kernel_over_binned_counts(kernel, pdf, group_cols, n_bins, threshold, column)
+
+
+def _kernel_over_binned_counts(
+    kernel, pdf: pd.DataFrame, group_cols: Sequence[str], n_bins: int,
+    threshold: float, column: str,
+) -> pd.DataFrame:
     verdicts = []
     keys = (
         pdf[list(group_cols)].drop_duplicates().itertuples(index=False, name=None)
@@ -341,14 +375,49 @@ def _histogram_pair_test(
     return _verdict_frame(verdicts, group_cols)
 
 
+def histogram_kernel_from_counts(
+    counts_pdf: pd.DataFrame,
+    kernel_name: str,
+    group_cols: Sequence[str],
+    n_bins: int,
+    threshold: float,
+    feature: str = "unknown",
+) -> pd.DataFrame:
+    """Run a drift kernel over pre-computed binned counts (one collect reused
+    by several kernels — the validation plan's token-histogram path).
+
+    ``kernel_name``: 'js' | 'hellinger' | 'chi2' (chi2 treats the bins as
+    categories — a bucketed chi-squared, the standard coarsening for
+    high-cardinality domains like token ids).
+    """
+    if kernel_name == "js":
+        return _kernel_over_binned_counts(
+            js_from_counts, counts_pdf, group_cols, n_bins, threshold, feature
+        )
+    if kernel_name == "hellinger":
+        return _kernel_over_binned_counts(
+            hellinger_from_counts, counts_pdf, group_cols, n_bins, threshold, feature
+        )
+    if kernel_name == "chi2":
+        def chi2_kernel(rc, pc, thr, feature_name):
+            cats = [str(i) for i in range(len(rc))]
+            return chi2_from_counts(cats, rc, pc, thr, feature_name=feature_name)
+
+        return _kernel_over_binned_counts(
+            chi2_kernel, counts_pdf, group_cols, n_bins, threshold, feature
+        )
+    raise ValueError(f"unknown kernel {kernel_name!r}")
+
+
 def js_test_grouped(
     ref_df, prod_df, column, group_cols=(), threshold=None, n_bins=None,
-    config: EngineConfig = DEFAULT_CONFIG,
+    config: EngineConfig = DEFAULT_CONFIG, domain=None,
 ) -> pd.DataFrame:
     threshold = config.js_threshold if threshold is None else threshold
     n_bins = config.hist_bins if n_bins is None else n_bins
     return _histogram_pair_test(
-        js_from_counts, ref_df, prod_df, column, group_cols, threshold, n_bins
+        js_from_counts, ref_df, prod_df, column, group_cols, threshold, n_bins,
+        domain,
     )
 
 
@@ -361,12 +430,13 @@ def js_test(ref_df, prod_df, column, threshold=None, n_bins=None,
 
 def hellinger_test_grouped(
     ref_df, prod_df, column, group_cols=(), threshold=None, n_bins=None,
-    config: EngineConfig = DEFAULT_CONFIG,
+    config: EngineConfig = DEFAULT_CONFIG, domain=None,
 ) -> pd.DataFrame:
     threshold = config.hellinger_threshold if threshold is None else threshold
     n_bins = config.hist_bins if n_bins is None else n_bins
     return _histogram_pair_test(
-        hellinger_from_counts, ref_df, prod_df, column, group_cols, threshold, n_bins
+        hellinger_from_counts, ref_df, prod_df, column, group_cols, threshold,
+        n_bins, domain,
     )
 
 
@@ -433,13 +503,7 @@ def wasserstein_test_grouped(
         F.max("n_prod").alias("n_prod"),
     )
     # reference-side IQR + population std for normalization
-    refstats = ref_df.select(_finite(F.col(column)).alias("v")).where(
-        F.col("v").isNotNull()
-    )
-    if group_cols:
-        refstats = ref_df.select(
-            *group_cols, _finite(F.col(column)).alias("v")
-        ).where(F.col("v").isNotNull())
+    refstats = clean_values(ref_df, column, group_cols)
     iqr_agg = refstats.groupBy(*group_cols).agg(
         F.percentile(F.col("v"), F.array(F.lit(0.25), F.lit(0.75))).alias("q"),
         F.stddev_pop("v").alias("std"),
@@ -509,12 +573,14 @@ def chi2_test_grouped(
     """
     threshold = config.chi2_threshold if threshold is None else threshold
     sides = _sides(ref_df, prod_df, column, group_cols, cast_double=False)
-    counts = (
-        sides.withColumn("v", F.col("v").cast("string"))
-        .groupBy(*group_cols, "side", "v")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    # group on the NATIVE type — string hash-aggregation is ~15x slower on
+    # wide explode inputs; stringify categories in the tiny finalize instead
+    # (the reference's str coercion, chi_squared.py:194, applied post-agg)
+    counts = sides.groupBy(*group_cols, "side", "v").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
     pdf = counts.toPandas()
+    pdf["v"] = pdf["v"].astype(str)
     verdicts = []
     keys = (
         pdf[list(group_cols)].drop_duplicates().itertuples(index=False, name=None)

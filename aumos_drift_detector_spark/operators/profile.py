@@ -28,13 +28,42 @@ from aumos_drift_detector_spark.config import DEFAULT_CONFIG, EngineConfig
 PROFILE_PERCENTILES = [0.25, 0.50, 0.75, 0.95, 0.99]
 
 
+_INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint", "long", "boolean")
+
+
 def _finite(c: Column) -> Column:
     """Finite-value projection: NULL out non-finite so aggregates skip them.
 
     Mirrors the reference's ``x[np.isfinite(x)]`` pre-filter (ks_test.py:125).
+    NOTE: this CASE WHEN form is for wide aggregations where per-column
+    filtering is impossible; row-path operators should use ``clean_values``
+    (filter-then-project), which vectorizes ~10x better.
     """
     d = c.cast("double")
     return F.when(d.isNotNull() & ~F.isnan(d) & (F.abs(d) != float("inf")), d)
+
+
+def finite_condition(df: DataFrame, column: str) -> Column:
+    """Cheapest correct finiteness predicate for the column's actual type.
+
+    Integral columns cannot hold NaN/inf — a bare isNotNull suffices, which
+    keeps the filter inside whole-stage codegen (the NaN/abs checks cost ~10x
+    on hot explode paths)."""
+    dtype = df.schema[column].dataType.simpleString()
+    c = F.col(column)
+    if dtype in _INTEGRAL_TYPES:
+        return c.isNotNull()
+    d = c.cast("double")
+    return d.isNotNull() & ~F.isnan(d) & (F.abs(d) != float("inf"))
+
+
+def clean_values(
+    df: DataFrame, column: str, extra_cols: Sequence[str] = (), alias: str = "v"
+) -> DataFrame:
+    """Finite-filtered projection (extra_cols..., alias) — the row-path form."""
+    return df.where(finite_condition(df, column)).select(
+        *extra_cols, F.col(column).cast("double").alias(alias)
+    )
 
 
 def profile_columns(
@@ -148,8 +177,7 @@ def histogram(
     Returns ``(group_cols..., bin, bin_count)`` with every bin 0..n_bins-1
     present (dense), plus companion edges via a broadcast-joined min/max.
     """
-    v = _finite(F.col(column)).alias("v")
-    clean = df.select(*group_cols, v).where(F.col("v").isNotNull())
+    clean = clean_values(df, column, group_cols)
     ranges = clean.groupBy(*group_cols).agg(
         F.min("v").alias("_lo"), F.max("v").alias("_hi")
     )
@@ -202,8 +230,7 @@ def quantile_edges(
     Exact `percentile` (linear interpolation, numpy-compatible) by default;
     `percentile_approx` when ``config.approx``.
     """
-    v = _finite(F.col(column)).alias("v")
-    clean = df.select(*group_cols, v).where(F.col("v").isNotNull())
+    clean = clean_values(df, column, group_cols)
     probs = [i / n_bins for i in range(n_bins + 1)]
     if config.approx:
         pct = F.percentile_approx(F.col("v"), probs, config.approx_percentile_accuracy)

@@ -1,0 +1,135 @@
+"""Text-analysis operators for training-data pipelines.
+
+All row-path computation is column expressions (regex, length arithmetic,
+higher-order array functions) — JVM-side, whole-stage-codegen friendly.
+
+- language-ID: stopword-hit heuristic over small per-language marker lists
+- quality scoring: length / punctuation / whitespace / stopword ratios
+  composed into a [0,1] score
+- token counting: whitespace tokens + a BPE-ish subword estimate
+  (``ceil(chars/4)`` blended with word count — the standard quick estimator)
+- document fingerprinting: content hash + 64-bit SimHash (see dedup module)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny high-frequency marker lists; enough signal for a heuristic router.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "une", "des", "que"],
+    "es": ["el", "la", "los", "y", "es", "una", "que", "de"],
+}
+
+
+def _word_array(text: Column) -> Column:
+    return F.split(F.lower(text), r"\s+")
+
+
+def lang_hits(text: Column, markers: list[str]) -> Column:
+    """Number of words that are in the marker list (JVM array filter)."""
+    marker_arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(
+        F.filter(_word_array(text), lambda w: F.array_contains(marker_arr, w))
+    )
+
+
+def detect_language(df: DataFrame, text_col: str, out_col: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: argmax of marker hits, 'und' when all zero."""
+    hit_cols = {
+        lang: lang_hits(F.col(text_col), markers).alias(f"_hits_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    }
+    tagged = df.select("*", *hit_cols.values())
+    best = F.greatest(*[F.col(f"_hits_{l}") for l in LANG_MARKERS])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in LANG_MARKERS:
+        pred = pred.when(F.col(f"_hits_{lang}") == best, F.lit(lang))
+    out = tagged.withColumn(out_col, pred)
+    return out.drop(*[f"_hits_{l}" for l in LANG_MARKERS])
+
+
+def whitespace_token_count(text: Column) -> Column:
+    """Whitespace token count by pure length arithmetic (dialect-stable)."""
+    stripped = F.regexp_replace(F.regexp_replace(text, r"\s+", " "), r"^ | $", "")
+    return F.when(F.length(stripped) == 0, F.lit(0)).otherwise(
+        F.length(stripped) - F.length(F.regexp_replace(stripped, " ", "")) + 1
+    )
+
+
+def bpe_token_estimate(text: Column) -> Column:
+    """BPE-ish subword count estimate: max(words, ceil(chars / 4)).
+
+    The chars/4 rule-of-thumb tracks byte-level BPE vocab behavior closely
+    enough for budgeting; exact counts need the real tokenizer (out of scope —
+    this engine consumes PRE-tokenized sequences; the estimator exists for
+    raw-text side tables).
+    """
+    return F.greatest(
+        whitespace_token_count(text),
+        F.ceil(F.length(text) / F.lit(4.0)).cast("int"),
+    )
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Per-document quality feature columns + composite score in [0, 1].
+
+    Features (all cheap column exprs):
+      n_chars, n_tokens, mean_word_len, space_ratio, punct_ratio,
+      digit_ratio, upper_ratio, stopword_ratio
+    Score: product of soft gates — too-short, punctuation-heavy, digit-heavy,
+    and stopword-free documents are penalized (the usual web-corpus filters).
+    """
+    text = F.col(text_col)
+    n_chars = F.length(text).cast("double")
+    n_tokens = whitespace_token_count(text).cast("double")
+    safe_chars = F.greatest(n_chars, F.lit(1.0))
+    punct_ratio = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}]", "")) / safe_chars
+    digit_ratio = F.length(F.regexp_replace(text, r"[^0-9]", "")) / safe_chars
+    upper_ratio = F.length(F.regexp_replace(text, r"[^A-Z]", "")) / safe_chars
+    space_ratio = F.length(F.regexp_replace(text, r"[^ ]", "")) / safe_chars
+    mean_word_len = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
+    en_stop = F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
+    stop_ratio = F.when(
+        n_tokens > 0,
+        F.size(F.filter(_word_array(text), lambda w: F.array_contains(en_stop, w)))
+        / n_tokens,
+    ).otherwise(F.lit(0.0))
+
+    length_gate = F.least(n_tokens / F.lit(20.0), F.lit(1.0))
+    punct_gate = F.when(punct_ratio > 0.2, F.lit(0.3)).otherwise(F.lit(1.0))
+    digit_gate = F.when(digit_ratio > 0.3, F.lit(0.3)).otherwise(F.lit(1.0))
+    word_len_gate = F.when(
+        (mean_word_len >= 2.5) & (mean_word_len <= 12.0), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    score = length_gate * punct_gate * digit_gate * word_len_gate
+
+    return df.select(
+        "*",
+        n_chars.alias("q_n_chars"),
+        n_tokens.alias("q_n_tokens"),
+        F.round(mean_word_len, 4).alias("q_mean_word_len"),
+        F.round(space_ratio, 6).alias("q_space_ratio"),
+        F.round(punct_ratio, 6).alias("q_punct_ratio"),
+        F.round(digit_ratio, 6).alias("q_digit_ratio"),
+        F.round(upper_ratio, 6).alias("q_upper_ratio"),
+        F.round(stop_ratio, 6).alias("q_stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def document_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Content fingerprints per document: md5 (exact) + xxhash64 (join key).
+
+    SimHash (near-dup) lives in dedup.simhash_signatures; this is the exact
+    identity layer used by the dedup and lineage paths.
+    """
+    return df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("md5"),
+        F.xxhash64(F.col(text_col)).alias("xxh64"),
+        F.length(F.col(text_col)).alias("n_chars"),
+    )

@@ -282,24 +282,32 @@ class ValidationRun:
             if s.token_sample_fraction < 1.0:
                 cur_tok = cur_tok.sample(s.token_sample_fraction, seed=42)
                 base_tok = base_tok.sample(s.token_sample_fraction, seed=42)
-            js = D.js_test_grouped(
-                cur_tok.withColumn("token_id", F.col("token_id").cast("double")),
-                base_tok.withColumn("token_id", F.col("token_id").cast("double")),
-                "token_id",
-                (part,),
-                n_bins=256,
-                config=s.engine,
+            # token_id stays int (cheap isNotNull filter) and the vocab domain
+            # is known a priori -> ONE single-pass fixed-width binned count
+            # (no min/max pre-pass, no broadcast join) feeds BOTH the JS and
+            # the (bucketed) chi-squared kernels — collect is groups x 256.
+            from aumos_drift_detector_spark.sources.synth import VOCAB_SIZE
+
+            n_tok_bins = 256
+            counts_pdf = D._binned_counts_shared_range(
+                base_tok, cur_tok, "token_id", (part,), n_tok_bins,
+                domain=(0, VOCAB_SIZE),
+            )
+            extra = {
+                "sample_fraction": str(s.token_sample_fraction),
+                "n_bins": str(n_tok_bins),
+            }
+            js = D.histogram_kernel_from_counts(
+                counts_pdf, "js", (part,), n_tok_bins, s.engine.js_threshold,
+                feature="token_id",
+            )
+            self._record_drift(js, "token_hist_js", results_rows, now, part, extra)
+            chi2 = D.histogram_kernel_from_counts(
+                counts_pdf, "chi2", (part,), n_tok_bins, s.engine.chi2_threshold,
+                feature="token_id",
             )
             self._record_drift(
-                js, "token_hist_js", results_rows, now, part,
-                extra={"sample_fraction": str(s.token_sample_fraction)},
-            )
-            chi2 = D.chi2_test_grouped(
-                base_tok, cur_tok, "token_id", (part,), config=s.engine
-            )
-            self._record_drift(
-                chi2, "token_hist_chi2", results_rows, now, part,
-                extra={"sample_fraction": str(s.token_sample_fraction)},
+                chi2, "token_hist_chi2", results_rows, now, part, extra
             )
 
         # -- write outputs ----------------------------------------------------

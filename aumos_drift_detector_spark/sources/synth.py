@@ -175,3 +175,59 @@ def write_token_tables_parquet(
         base.write.mode(mode).partitionBy("source").parquet(os.path.join(out_dir, "tokens_baseline"))
         if ci == 0:
             dim.write.mode("overwrite").parquet(os.path.join(out_dir, "sources_dim"))
+
+
+def fast_token_parquet(
+    out_dir: str,
+    n_rows: int,
+    seed: int = 42,
+    ntok_mu: float = 5.0,
+    zipf_a: float = 1.2,
+    drifted: bool = False,
+    rows_per_file: int = 50_000,
+) -> int:
+    """Vectorized pyarrow writer for bench-scale token tables (no Spark, no
+    per-row Python). Deterministic for (n_rows, seed). Returns total tokens.
+
+    The `source` distribution keeps the web-heavy skew. Token arrays build as
+    one flat Zipf draw + offsets -> Arrow ListArray, so 10^8 tokens take
+    seconds, not hours.
+    """
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if drifted:
+        ntok_mu, zipf_a = 5.5, 1.4
+
+    os.makedirs(out_dir, exist_ok=True)
+    total_tokens = 0
+    written = 0
+    file_idx = 0
+    while written < n_rows:
+        n = min(rows_per_file, n_rows - written)
+        rng = np.random.default_rng(seed * 1_000_003 + file_idx)
+        n_tok = np.clip(rng.lognormal(ntok_mu, 0.6, n), 1, 2048).astype(np.int32)
+        flat = ((rng.zipf(zipf_a, size=int(n_tok.sum())) - 1) % VOCAB_SIZE).astype(np.int32)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(n_tok, out=offsets[1:])
+        tokens = pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat))
+        ids = np.char.add(f"d{file_idx:04d}_", np.arange(written, written + n).astype(str))
+        sources = rng.choice(SOURCES, size=n, p=SOURCE_WEIGHTS)
+        table = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.string()),
+                "tokens": tokens,
+                "n_tok": pa.array(n_tok, pa.int32()),
+                "source": pa.array(sources, pa.string()),
+            }
+        )
+        # many files + small row groups => Spark gets real scan parallelism
+        # even at sandbox scale (one 60MB file = ONE task otherwise)
+        pq.write_table(table, os.path.join(out_dir, f"part-{file_idx:05d}.parquet"),
+                       row_group_size=12_500)
+        total_tokens += int(n_tok.sum())
+        written += n
+        file_idx += 1
+    return total_tokens

@@ -1,0 +1,219 @@
+"""Tests for dedup, similarity-search, text-analysis, and multimodal operators."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from aumos_drift_detector_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        ("d1", base),
+        ("d2", base),  # exact dup of d1
+        ("d3", base.replace("lazy", "sleepy")),  # near dup of d1
+        ("d4", "completely different text about spark query engines and shuffles here"),
+        ("d5", "der hund läuft über die straße und das ist ein test der sprache"),
+        ("d6", base + " extra tail words appended"),  # near dup
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"]).cache()
+
+
+class TestExactDedup:
+    def test_duplicate_groups(self, spark, docs_df):
+        groups = dedup.exact_duplicates(docs_df, "doc_id", ["text"]).collect()
+        assert len(groups) == 1
+        g = groups[0]
+        assert g["n_copies"] == 2
+        assert g["doc_ids"] == ["d1", "d2"]
+        assert g["keep_id"] == "d1"
+
+    def test_dedup_keeps_one(self, spark, docs_df):
+        kept = dedup.dedup_exact(docs_df, "doc_id", ["text"])
+        ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+        assert ids == {"d1", "d3", "d4", "d5", "d6"}
+
+
+class TestMinhash:
+    def test_near_dups_found_exact_dup_is_one(self, spark, docs_df):
+        pairs = dedup.minhash_dedup(
+            docs_df, "doc_id", "text", num_hashes=64, num_bands=16, threshold=0.5
+        ).toPandas()
+        pairmap = {(r.id_a, r.id_b): r.est_jaccard for r in pairs.itertuples()}
+        assert pairmap.get(("d1", "d2")) == 1.0  # identical text
+        # near dup d1/d3 should surface with high estimated jaccard
+        assert ("d1", "d3") in pairmap or ("d1", "d6") in pairmap
+        # unrelated docs must not pair at threshold 0.5
+        assert not any("d4" in p or "d5" in p for p in pairmap)
+
+    def test_signature_shape_and_determinism(self, spark, docs_df):
+        s1 = dedup.minhash_signatures(docs_df, "doc_id", "text", 32).toPandas()
+        s2 = dedup.minhash_signatures(docs_df, "doc_id", "text", 32).toPandas()
+        assert all(len(m) == 32 for m in s1["minhash"])
+        m1 = dict(zip(s1["doc_id"], s1["minhash"].apply(list)))
+        m2 = dict(zip(s2["doc_id"], s2["minhash"].apply(list)))
+        assert m1 == m2
+
+    def test_estimator_tracks_true_jaccard(self, spark, docs_df):
+        pairs = dedup.minhash_dedup(
+            docs_df, "doc_id", "text", num_hashes=64, num_bands=32, threshold=0.0
+        ).toPandas()
+        row = pairs[(pairs.id_a == "d1") & (pairs.id_b == "d3")]
+        if len(row):  # banded LSH may or may not catch it at low similarity
+            # true jaccard of 3-shingle sets of d1/d3 ~ computed in python
+            def sh(t, n=3):
+                w = t.split()
+                return {" ".join(w[i:i+n]) for i in range(len(w)-n+1)}
+            a, b = sh("the quick brown fox jumps over the lazy dog near the river bank today"), \
+                   sh("the quick brown fox jumps over the sleepy dog near the river bank today")
+            true_j = len(a & b) / len(a | b)
+            assert abs(row.iloc[0]["est_jaccard"] - true_j) < 0.25
+
+
+class TestNgramJaccard:
+    def test_exact_jaccard_values(self, spark, docs_df):
+        pairs = dedup.ngram_jaccard_pairs(docs_df, "doc_id", "text", 3, 0.1).toPandas()
+        pairmap = {(r.id_a, r.id_b): r.jaccard for r in pairs.itertuples()}
+        assert pairmap[("d1", "d2")] == pytest.approx(1.0)
+
+        def sh(t, n=3):
+            w = t.split()
+            return {" ".join(w[i:i + n]) for i in range(max(len(w) - n + 1, 1))}
+
+        base = "the quick brown fox jumps over the lazy dog near the river bank today"
+        a, b = sh(base), sh(base.replace("lazy", "sleepy"))
+        assert pairmap[("d1", "d3")] == pytest.approx(len(a & b) / len(a | b))
+
+
+class TestSimhash:
+    def test_identical_docs_zero_hamming(self, spark, docs_df):
+        sigs = dedup.simhash_signatures(docs_df, "doc_id", "text")
+        cands = dedup.simhash_candidates(sigs, "doc_id", max_hamming=3).toPandas()
+        got = {(r.id_a, r.id_b): r.hamming for r in cands.itertuples()}
+        assert got.get(("d1", "d2")) == 0
+
+    def test_different_docs_not_candidates(self, spark, docs_df):
+        sigs = dedup.simhash_signatures(docs_df, "doc_id", "text")
+        cands = dedup.simhash_candidates(sigs, "doc_id", max_hamming=3).toPandas()
+        assert not any("d4" in (r.id_a, r.id_b) and "d5" in (r.id_a, r.id_b)
+                       for r in cands.itertuples())
+
+
+class TestEmbeddingNearDup:
+    def test_duplicate_vectors_found(self, spark):
+        rng = np.random.default_rng(0)
+        base = rng.normal(size=16)
+        rows = [
+            ("v1", base.tolist()),
+            ("v2", (base + rng.normal(scale=1e-3, size=16)).tolist()),  # near-dup
+            ("v3", rng.normal(size=16).tolist()),
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        pairs = dedup.embedding_near_duplicates(
+            df, "vec_id", "embedding", threshold=0.99, n_planes=8
+        ).toPandas()
+        keys = {(r.id_a, r.id_b) for r in pairs.itertuples()}
+        assert ("v1", "v2") in keys
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb_df(self, spark):
+        rng = np.random.default_rng(1)
+        vecs = rng.normal(size=(200, 16)).astype(np.float64)
+        rows = [(int(i), vecs[i].tolist()) for i in range(200)]
+        return spark.createDataFrame(rows, ["vec_id", "embedding"]).cache(), vecs
+
+    def test_brute_force_matches_numpy(self, spark, emb_df):
+        df, vecs = emb_df
+        q = vecs[0]
+        got = similarity.cosine_topk(df, "embedding", q.tolist(), k=5).toPandas()
+        sims = (vecs @ q) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+        expected = np.argsort(-sims)[:5].tolist()
+        assert got["vec_id"].tolist() == expected
+
+    def test_batch_topk_matches_brute_force(self, spark, emb_df):
+        df, vecs = emb_df
+        queries = vecs[:3]
+        got = similarity.cosine_topk_batch(df, "embedding", queries, k=5).toPandas()
+        for qi in range(3):
+            sims = (vecs @ vecs[qi]) / (
+                np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[qi])
+            )
+            expected = set(np.argsort(-sims)[:5].tolist())
+            got_ids = set(got[got["query_idx"] == qi]["vec_id"].tolist())
+            assert got_ids == expected
+
+    def test_ivf_recall_contains_query_itself(self, spark, emb_df):
+        df, vecs = emb_df
+        got = similarity.ivf_topk(
+            df, "embedding", vecs[7].tolist(), k=3, n_cells=8, n_probe=3
+        ).toPandas()
+        assert got["vec_id"].iloc[0] == 7  # self is always in probed cell
+
+
+class TestTextAnalysis:
+    def test_language_id(self, spark, docs_df):
+        out = text.detect_language(docs_df, "text").toPandas().set_index("doc_id")
+        assert out.loc["d1", "lang_pred"] == "en"
+        assert out.loc["d5", "lang_pred"] == "de"
+
+    def test_token_counts(self, spark):
+        df = spark.createDataFrame(
+            [("a", "one two  three"), ("b", ""), ("c", "  padded  ")],
+            ["doc_id", "text"],
+        )
+        out = df.select(
+            "doc_id", text.whitespace_token_count(F.col("text")).alias("n")
+        ).toPandas().set_index("doc_id")
+        assert out.loc["a", "n"] == 3
+        assert out.loc["b", "n"] == 0
+        assert out.loc["c", "n"] == 1
+
+    def test_quality_scores(self, spark):
+        rows = [
+            ("good", " ".join(["the quick brown fox jumps over it and runs far"] * 3)),
+            ("short", "hi"),
+            ("punct", "!!! ??? ;;; ,,, ... !!! ??? ;;;"),
+            ("digits", "12345 67890 11111 22222 33333 44444"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = text.quality_features(df, "text").toPandas().set_index("doc_id")
+        assert out.loc["good", "quality_score"] > 0.9
+        assert out.loc["short", "quality_score"] < 0.2
+        assert out.loc["punct", "quality_score"] <= 0.5
+        assert out.loc["digits", "quality_score"] <= 0.5
+
+    def test_fingerprints_stable(self, spark, docs_df):
+        fp = text.document_fingerprints(docs_df, "doc_id", "text").toPandas()
+        m = fp.set_index("doc_id")
+        assert m.loc["d1", "md5"] == m.loc["d2", "md5"]
+        assert m.loc["d1", "md5"] != m.loc["d3", "md5"]
+
+
+class TestMultimodal:
+    def test_feature_extraction_plumbing(self, spark):
+        media = multimodal.synth_media_table(spark, n_rows=12)
+        feats = multimodal.extract_features(media).toPandas()
+        assert len(feats) == 12
+        assert all(len(f) == 3 for f in feats["feature"])
+        assert ((feats["feat_mean"] >= 0) & (feats["feat_mean"] <= 1)).all()
+        # deterministic: same payload -> same features
+        feats2 = multimodal.extract_features(media).toPandas()
+        pd.testing.assert_frame_equal(
+            feats.sort_values("doc_id").reset_index(drop=True),
+            feats2.sort_values("doc_id").reset_index(drop=True),
+        )
+
+    def test_real_decoder_is_marked_stub(self):
+        with pytest.raises(multimodal.DecoderUnavailable):
+            multimodal.decode_image_real(b"xx")
+
+    def test_frame_sampling_plan(self, spark):
+        media = multimodal.synth_media_table(spark, n_rows=9)
+        frames = multimodal.frame_sample_plan(media, every_n=100).toPandas()
+        vids = media.where(F.col("kind") == "video").count()
+        assert len(frames) == vids * 3  # frames 0,100,200 of 300
