@@ -86,6 +86,30 @@ class AdwinDetector:
             "delta": self.delta,
         }
 
+    def dump(self) -> dict:
+        """FULL state (incl. histogram buckets) for checkpoint resume."""
+        return {
+            "levels": self._levels,
+            "sum": self._sum,
+            "var": self._var,
+            "count": self._count,
+            "updates": self._updates,
+            "last_drift": self._last_drift,
+            "delta": self.delta,
+            "max_buckets": self.max_buckets,
+        }
+
+    @classmethod
+    def load(cls, d: dict) -> "AdwinDetector":
+        det = cls(delta=d["delta"], max_buckets=d["max_buckets"])
+        det._levels = [[list(b) for b in lv] for lv in d["levels"]]
+        det._sum = d["sum"]
+        det._var = d["var"]
+        det._count = d["count"]
+        det._updates = d["updates"]
+        det._last_drift = d["last_drift"]
+        return det
+
     def _compact(self) -> None:
         i = 0
         while i < len(self._levels):
@@ -210,6 +234,26 @@ class DdmDetector:
             "min_error_rate": 0.0 if math.isinf(self._p_min) else self._p_min,
         }
 
+    def dump(self) -> dict:
+        return {
+            "n": self._n, "p": self._p, "s": self._s,
+            "p_min": None if math.isinf(self._p_min) else self._p_min,
+            "s_min": None if math.isinf(self._s_min) else self._s_min,
+            "level": self._level,
+            "warning_level": self.warning_level,
+            "drift_level": self.drift_level,
+            "min_num_instances": self.min_num_instances,
+        }
+
+    @classmethod
+    def load(cls, d: dict) -> "DdmDetector":
+        det = cls(d["warning_level"], d["drift_level"], d["min_num_instances"])
+        det._n, det._p, det._s = d["n"], d["p"], d["s"]
+        det._p_min = math.inf if d["p_min"] is None else d["p_min"]
+        det._s_min = math.inf if d["s_min"] is None else d["s_min"]
+        det._level = d["level"]
+        return det
+
 
 class EddmDetector:
     """EDDM: inter-error-distance tracking, ratio vs the max (mean+2std)^2.
@@ -280,6 +324,24 @@ class EddmDetector:
             "n_samples": self._n,
             "mean_distance": self._dist_mean,
         }
+
+    def dump(self) -> dict:
+        return {
+            "n": self._n, "n_err": self._n_err, "last_err_at": self._last_err_at,
+            "dist_mean": self._dist_mean, "dist_m2": self._dist_m2,
+            "max_metric": self._max_metric, "level": self._level,
+            "warning_level": self.warning_level, "drift_level": self.drift_level,
+            "min_num_errors": self.min_num_errors,
+        }
+
+    @classmethod
+    def load(cls, d: dict) -> "EddmDetector":
+        det = cls(d["warning_level"], d["drift_level"], d["min_num_errors"])
+        det._n, det._n_err = d["n"], d["n_err"]
+        det._last_err_at = d["last_err_at"]
+        det._dist_mean, det._dist_m2 = d["dist_mean"], d["dist_m2"]
+        det._max_metric, det._level = d["max_metric"], d["level"]
+        return det
 
 
 def cusum_change_points(

