@@ -347,6 +347,112 @@ def _q_mmd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verdict_row_df(spark, mmd_test(ref, prod, "embedding"))
 
 
+
+
+def _q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: pairwise Pearson correlations in ONE aggregation pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = [
+        ("l_quantity", "l_extendedprice"),
+        ("l_quantity", "l_discount"),
+        ("l_extendedprice", "l_discount"),
+    ]
+    aggs = [
+        F.round(F.corr(a, b), 6).alias(f"corr_{a}_{b}") for a, b in pairs
+    ]
+    return li.agg(*aggs)
+
+
+def _q_dashboard_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: one-pass conditional aggregates instead of N queries."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("total_events"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors"),
+        F.sum((F.col("event_type") == "click").cast("long")).alias("n_clicks"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(
+            F.avg(F.when(F.col("event_type") == "error", F.col("value"))), 4
+        ).alias("avg_error_value"),
+    )
+
+
+def _q_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: keyset pagination (scale-safe replacement for OFFSET)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.where(F.col("o_orderkey") > 1000)
+        .orderBy(F.asc("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+    )
+
+
+def _q_auc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5/A10: rank-based ROC-AUC (is the event an 'error' predictable
+    from `value`?) — tie-averaged Mann-Whitney, SQL-oracle-checkable."""
+    from aumos_drift_detector_spark.operators.perfmon import auc_binary
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.lit("all").alias("seg"),
+        (F.col("event_type") == "error").cast("int").alias("y_true"),
+        F.col("value").alias("score"),
+    )
+    out = auc_binary(ev, ["seg"])
+    return out.select("n_pos", "n_neg", F.round("auc", 6).alias("auc"))
+
+
+def _q_macro_f1_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: accuracy + macro-F1 of a threshold classifier over events."""
+    from aumos_drift_detector_spark.operators.perfmon import classification_metrics
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.lit("all").alias("seg"),
+        F.col("event_type").alias("y_true"),
+        F.when(F.col("value") > 10.0, "error").otherwise("click").alias("y_pred"),
+    )
+    out = classification_metrics(ev, ["seg"])
+    return out.select(
+        F.round("accuracy", 6).alias("accuracy"),
+        F.round("macro_f1", 6).alias("macro_f1"),
+        "n_obs",
+    )
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs — rows-only (hash constants differ
+    per engine, so no SQL oracle; exact-jaccard parity is tested in pytest)."""
+    from aumos_drift_detector_spark.operators.dedup import minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    return minhash_dedup(docs, "doc_id", "text", threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _q_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6: CUSUM change points per event_type — rows-only (sequential)."""
+    from aumos_drift_detector_spark.operators.concept import cusum_grouped
+
+    ev = _t(spark, sf_dir, "events")
+    return cusum_grouped(ev, ["event_type"], "event_id", "value")
+
+
+def _q_forecast_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8: linear forecast + 80% PI per event_type — rows-only."""
+    from aumos_drift_detector_spark.operators.trend import linear_forecast
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.avg("value").alias("v"))
+    )
+    return linear_forecast(daily, ["event_type"], "day", "v", horizon=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_customer": _q_profile_customer,          # A1/A6
@@ -368,8 +474,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_documents": _q_token_count_documents,  # text analysis
         "text_quality": _q_text_quality,                  # text analysis
         "ann_cosine_topk": _q_ann_cosine_topk,            # similarity search
+        "corr_matrix": _q_corr_matrix,                    # A12
+        "dashboard_summary": _q_dashboard_summary,        # A7/A8
+        "keyset_pagination": _q_keyset_pagination,        # P7/P8
+        "auc_events": _q_auc_events,                      # W5/A10
+        "macro_f1_events": _q_macro_f1_events,            # A10/A11
         "adwin_events": _q_adwin_events,                  # C1 (rows-only)
         "mmd_embeddings": _q_mmd_embeddings,              # T8 (rows-only)
+        "minhash_pairs": _q_minhash_pairs,                # dedup (rows-only)
+        "cusum_events": _q_cusum_events,                  # W6 (rows-only)
+        "forecast_events": _q_forecast_events,            # W8 (rows-only)
     }
 
 
@@ -634,6 +748,54 @@ SELECT source, count(*) AS n_docs,
 FROM documents GROUP BY source
 """,
         "ann_cosine_topk": _ANN_SQL,
+        "corr_matrix": """
+SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_l_quantity_l_extendedprice,
+       round(corr(l_quantity, l_discount), 6) AS corr_l_quantity_l_discount,
+       round(corr(l_extendedprice, l_discount), 6) AS corr_l_extendedprice_l_discount
+FROM lineitem
+""",
+        "dashboard_summary": """
+SELECT count(*) AS total_events,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_errors,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_clicks,
+       count(DISTINCT user_id) AS n_users,
+       round(avg(value), 4) AS avg_value,
+       round(avg(CASE WHEN event_type = 'error' THEN value END), 4) AS avg_error_value
+FROM events
+""",
+        "keyset_pagination": """
+SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+WHERE o_orderkey > 1000 ORDER BY o_orderkey ASC LIMIT 20
+""",
+        "auc_events": """
+WITH ranked AS (
+  SELECT CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y,
+         rank() OVER (ORDER BY value) + (count(*) OVER (PARTITION BY value) - 1) / 2.0 AS r
+  FROM events),
+agg AS (SELECT sum(CASE WHEN y = 1 THEN r END) AS rps,
+               sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS n_pos,
+               sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS n_neg
+        FROM ranked)
+SELECT n_pos::BIGINT AS n_pos, n_neg::BIGINT AS n_neg,
+       round((rps - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 6) AS auc
+FROM agg
+""",
+        "macro_f1_events": """
+WITH preds AS (SELECT event_type AS t,
+                      CASE WHEN value > 10.0 THEN 'error' ELSE 'click' END AS p
+               FROM events),
+classes AS (SELECT DISTINCT t AS cls FROM preds
+            UNION SELECT DISTINCT p FROM preds),
+percls AS (SELECT cls,
+             sum(CASE WHEN t = cls AND p = cls THEN 1 ELSE 0 END) AS tp,
+             sum(CASE WHEN t != cls AND p = cls THEN 1 ELSE 0 END) AS fp,
+             sum(CASE WHEN t = cls AND p != cls THEN 1 ELSE 0 END) AS fn
+           FROM preds, classes GROUP BY cls)
+SELECT (SELECT round(avg(CASE WHEN t = p THEN 1.0 ELSE 0.0 END), 6) FROM preds) AS accuracy,
+       round(avg(coalesce(2.0 * tp / nullif(2 * tp + fp + fn, 0), 0.0)), 6) AS macro_f1,
+       (SELECT count(*) FROM preds)::BIGINT AS n_obs
+FROM percls
+""",
         "chi2_orderpriority": _CHI2_SQL,
         # adwin_events, mmd_embeddings: rows-only (sequential state machines /
         # kernel matrices are not SQL-expressible)

@@ -162,3 +162,62 @@ def chi2_sf(statistic: float, dof: int) -> float:
     if statistic < 0:
         raise ValueError("statistic must be non-negative")
     return regularized_gamma_q(dof / 2.0, statistic / 2.0)
+
+
+# --- Anderson-Darling k-sample (k=2) normalization & significance ----------
+# Scholz & Stephens (1987), "K-Sample Anderson-Darling Tests", JASA 82(399).
+# Matches scipy.stats.anderson_ksamp's midrank variant: the caller supplies
+# the raw A2akN statistic (computed distributed from per-value counts); this
+# normalizes it and interpolates the significance level from the published
+# critical-value surface tm(m) = b0 + b1/sqrt(m) + b2/m.
+
+_AD_SIG = [0.25, 0.10, 0.05, 0.025, 0.01, 0.005, 0.001]
+_AD_B0 = [0.675, 1.281, 1.645, 1.960, 2.326, 2.573, 3.085]
+_AD_B1 = [-0.245, 0.250, 0.678, 1.149, 1.822, 2.364, 3.615]
+_AD_B2 = [-0.105, -0.305, -0.481, -0.687, -0.775, -1.149, -1.822]
+
+
+def anderson_darling_significance(a2akn: float, n_samples: list[int]) -> tuple[float, float]:
+    """Normalize A2akN and return (T_k, significance_level in [0.001, 0.25]).
+
+    Harmonic-sum identities make g O(N) instead of the textbook O(N^2).
+    """
+    import numpy as np
+
+    k = len(n_samples)
+    n_total = int(sum(n_samples))
+    if k < 2 or n_total < 4:
+        raise ValueError("need k>=2 samples and N>=4")
+    big_h = sum(1.0 / n for n in n_samples)
+    # h = sum_{i=1}^{N-1} 1/i
+    inv = 1.0 / np.arange(1, n_total, dtype=np.float64)
+    h = float(inv.sum())
+    # g = sum_{i=1}^{N-2} (1/(N-i)) * (H_{N-1} - H_i)
+    cumh = np.cumsum(inv)  # H_1..H_{N-1}
+    i_arr = np.arange(1, n_total - 1, dtype=np.int64)  # i = 1..N-2
+    g = float(np.sum((cumh[-1] - cumh[i_arr - 1]) / (n_total - i_arr)))
+
+    a = (4.0 * g - 6.0) * (k - 1) + (10.0 - 6.0 * g) * big_h
+    b = (2.0 * g - 4.0) * k**2 + 8.0 * h * k + (2.0 * g - 14.0 * h - 4.0) * big_h - 8.0 * h + 4.0 * g - 6.0
+    c = (6.0 * h + 2.0 * g - 2.0) * k**2 + (4.0 * h - 4.0 * g + 6.0) * k + (2.0 * h - 6.0) * big_h + 4.0 * h
+    d = (2.0 * h + 6.0) * k**2 - 4.0 * h * k
+    sigma_sq = (a * n_total**3 + b * n_total**2 + c * n_total + d) / (
+        (n_total - 1.0) * (n_total - 2.0) * (n_total - 3.0)
+    )
+    m = k - 1
+    tk = (a2akn - m) / math.sqrt(max(sigma_sq, 1e-300))
+
+    crit = [
+        b0 + b1 / math.sqrt(m) + b2 / m
+        for b0, b1, b2 in zip(_AD_B0, _AD_B1, _AD_B2)
+    ]
+    # scipy: quadratic fit of log(sig) over critical values, clipped
+    coeffs = np.polyfit(crit, np.log(np.asarray(_AD_SIG)), 2)
+    if tk < crit[0]:
+        sig = 0.25
+    elif tk > crit[-1]:
+        sig = 0.001
+    else:
+        sig = float(math.exp(np.polyval(coeffs, tk)))
+        sig = min(0.25, max(0.001, sig))
+    return tk, sig

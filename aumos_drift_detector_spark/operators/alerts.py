@@ -1,0 +1,89 @@
+"""Alert gating: dedup keys, cooldown suppression, retrain-trigger direction.
+
+Batch restatement of the reference's in-memory alert/trigger state
+(alert_system.py:300-340, retrain_trigger.py:239-244,521-534): the "state"
+is the alerts/triggers table itself — gating is a join against the last-fired
+row per dedup key plus timestamp arithmetic, so it is idempotent and
+cluster-safe (no in-process dict).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# p-value tests fire when score < threshold; score-style tests when score >
+# (reference retrain_trigger.py:239-244)
+P_VALUE_TESTS = {"ks", "chi_squared", "anderson_darling"}
+
+
+def threshold_crossed(test_col, score_col, threshold_col):
+    """Direction-aware trigger predicate (F7)."""
+    return F.when(
+        test_col.isin(*P_VALUE_TESTS), score_col < threshold_col
+    ).otherwise(score_col >= threshold_col)
+
+
+def dedup_key(rule_col, monitor_col, metric_col):
+    """Stable alert dedup key (F9, alert_system.py:310-330)."""
+    return F.sha2(F.concat_ws("|", rule_col, monitor_col, metric_col), 256)
+
+
+def gate_alerts(
+    candidates: DataFrame,
+    alert_history: DataFrame | None,
+    cooldown_minutes: int = 60,
+    ts_col: str = "detected_at",
+) -> DataFrame:
+    """Suppress candidate alerts whose dedup key fired inside the cooldown.
+
+    ``candidates`` must carry a ``dedup_key`` column and ``ts_col``;
+    ``alert_history`` is the previously-written alerts table (or None for the
+    first run). Emits every candidate with ``status`` = 'dispatched' |
+    'suppressed' — suppressed rows are kept, matching the reference's
+    suppressed-history behavior (alert_system.py:322-330).
+    """
+    if alert_history is None:
+        return candidates.withColumn("status", F.lit("dispatched"))
+    last_fired = (
+        alert_history.where(F.col("status") == "dispatched")
+        .groupBy("dedup_key")
+        .agg(F.max(ts_col).alias("_last_ts"))
+    )
+    joined = candidates.join(F.broadcast(last_fired), "dedup_key", "left")
+    in_cooldown = (
+        F.col("_last_ts").isNotNull()
+        & (
+            F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.col("_last_ts"))
+            < cooldown_minutes * 60
+        )
+    )
+    return joined.withColumn(
+        "status", F.when(in_cooldown, "suppressed").otherwise("dispatched")
+    ).drop("_last_ts")
+
+
+def cooldown_clear(
+    trigger_history: DataFrame | None,
+    model_col: str = "model_id",
+    ts_col: str = "triggered_at",
+    cooldown_hours: int = 24,
+) -> DataFrame | None:
+    """Per-model cooldown state (F8, retrain_trigger.py:521-534).
+
+    Returns (model_id, last_triggered, cooldown_clear boolean) — join this to
+    trigger candidates; models never triggered are trivially clear (use a
+    left join + coalesce(cooldown_clear, true)).
+    """
+    if trigger_history is None:
+        return None
+    return (
+        trigger_history.groupBy(model_col)
+        .agg(F.max(ts_col).alias("last_triggered"))
+        .withColumn(
+            "cooldown_clear",
+            F.unix_timestamp(F.current_timestamp())
+            - F.unix_timestamp(F.col("last_triggered"))
+            >= cooldown_hours * 3600,
+        )
+    )

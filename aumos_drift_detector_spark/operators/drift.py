@@ -82,13 +82,14 @@ def _verdict_frame(
                 reference_size=v.reference_size,
                 production_size=v.production_size,
                 feature=v.feature_name,
+                details=v.details,
                 error=None,
             )
         else:
             row.update(
                 test=None, score=None, threshold=None, is_drifted=None,
                 p_value=None, reference_size=None, production_size=None,
-                feature=None, error=err,
+                feature=None, details={}, error=err,
             )
         rows.append(row)
     return pd.DataFrame(rows)
@@ -638,4 +639,104 @@ def _single(frame: pd.DataFrame, test: str, threshold: float, column: str) -> Dr
         reference_size=int(row["reference_size"]),
         production_size=int(row["production_size"]),
         feature_name=column,
+        details=row.get("details") or {},
     )
+
+
+# ---------------------------------------------------------------------------
+# Anderson-Darling k-sample (k=2) — SURVEY T7
+# ---------------------------------------------------------------------------
+
+def anderson_darling_test_grouped(
+    ref_df: DataFrame,
+    prod_df: DataFrame,
+    column: str,
+    group_cols: Sequence[str] = (),
+    threshold: float = 0.05,
+) -> pd.DataFrame:
+    """Midrank two-sample Anderson-Darling per group (Scholz-Stephens A2akN).
+
+    Same distributed shape as KS: per-(group, distinct value) counts, one
+    window pass builds the midrank cumulative terms, one aggregation reduces
+    the per-sample inner sums; normalization + significance interpolation run
+    on scalars driver-side (functions.numeric.anderson_darling_significance,
+    matching scipy.stats.anderson_ksamp's published algorithm — the reference
+    wraps that at anderson_darling.py:50-55 and reports
+    significance_level/100 as the p-value).
+    """
+    from aumos_drift_detector_spark.functions.numeric import (
+        anderson_darling_significance,
+    )
+
+    sides = _sides(ref_df, prod_df, column, group_cols)
+    per_value = sides.groupBy(*group_cols, "v").agg(
+        F.sum(F.when(F.col("side") == _REF, 1).otherwise(0)).alias("cr"),
+        F.sum(F.when(F.col("side") == _PROD, 1).otherwise(0)).alias("cp"),
+    )
+    wcum = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy(*[F.col(g) for g in group_cols])
+    lj = F.col("cr") + F.col("cp")
+    cum = per_value.select(
+        *group_cols,
+        F.col("cr"),
+        F.col("cp"),
+        lj.alias("lj"),
+        (F.sum(F.col("cr") + F.col("cp")).over(wcum) - lj / 2.0).alias("bj"),
+        (F.sum("cr").over(wcum) - F.col("cr") / 2.0).alias("m_ref"),
+        (F.sum("cp").over(wcum) - F.col("cp") / 2.0).alias("m_prod"),
+        F.sum("cr").over(wall).alias("n_ref"),
+        F.sum("cp").over(wall).alias("n_prod"),
+    )
+    n_total = F.col("n_ref") + F.col("n_prod")
+    denom = F.col("bj") * (n_total - F.col("bj")) - n_total * F.col("lj") / 4.0
+    inner_ref = F.col("lj") * (n_total * F.col("m_ref") - F.col("n_ref") * F.col("bj")) ** 2
+    inner_prod = F.col("lj") * (n_total * F.col("m_prod") - F.col("n_prod") * F.col("bj")) ** 2
+    sums = cum.groupBy(*group_cols).agg(
+        F.sum(F.when(denom > 0, F.try_divide(inner_ref, denom))).alias("s_ref"),
+        F.sum(F.when(denom > 0, F.try_divide(inner_prod, denom))).alias("s_prod"),
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_prod").alias("n_prod"),
+    )
+    pdf = sums.toPandas()
+    verdicts = []
+    for _, r in pdf.iterrows():
+        key = tuple(r[g] for g in group_cols)
+        n, m = int(r["n_ref"] or 0), int(r["n_prod"] or 0)
+        if n == 0 or m == 0:
+            verdicts.append((key, None, "empty side after removing NaN/inf"))
+            continue
+        big_n = n + m
+        a2akn = (big_n - 1) / big_n * (float(r["s_ref"]) / n + float(r["s_prod"]) / m) / big_n
+        tk, sig = anderson_darling_significance(a2akn, [n, m])
+        verdicts.append(
+            (
+                key,
+                DriftVerdict(
+                    test="anderson_darling",
+                    score=sig,
+                    threshold=threshold,
+                    is_drifted=bool(sig < threshold),
+                    p_value=sig,
+                    reference_size=n,
+                    production_size=m,
+                    feature_name=column,
+                    details={"statistic": a2akn, "normalized": tk},
+                ),
+                None,
+            )
+        )
+    if not verdicts and not group_cols:
+        verdicts.append(((), None, "empty side after removing NaN/inf"))
+    return _verdict_frame(verdicts, group_cols)
+
+
+def anderson_darling_test(
+    ref_df: DataFrame,
+    prod_df: DataFrame,
+    column: str,
+    threshold: float = 0.05,
+) -> DriftVerdict:
+    frame = anderson_darling_test_grouped(ref_df, prod_df, column, (), threshold)
+    return _single(frame, "anderson_darling", threshold, column)
