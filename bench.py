@@ -250,6 +250,10 @@ def main() -> None:
     qtimes["validation_pass"] = round(wall, 3)
     result["queries"] = qtimes
     result["value"] = round(sum(qtimes.values()), 3)
+    result["scaling_ref"] = (
+        "run `python bench.py --scaling` for the 8-vs-32-core measurement; "
+        "round-1 numbers + hardware calibration in BASELINE.md"
+    )
     spark.stop()
     print(json.dumps(result))
 
