@@ -243,15 +243,28 @@ def math_sqrt_clamped(x: float) -> float:
     return float(np.sqrt(max(0.0, x)))
 
 
+# distance-style scores (higher = more drift, like PSI) vs p-value scores
+# (lower = more drift). The reference only ever calls its severity mapping
+# with psi/ks/chi2/concept names (services.py:325-327 guards on is_drifted),
+# so distance tests need an explicit branch here — routing them into the
+# inverse p-value branch would label the MOST similar distributions critical.
+DISTANCE_TESTS = frozenset(
+    {"jensen_shannon", "hellinger", "wasserstein", "mmd", "token_hist_js"}
+)
+P_VALUE_TESTS = frozenset({"ks", "chi_squared", "chi2", "ks_2samp", "anderson_darling"})
+
+
 def severity(score: float, threshold: float, test_name: str) -> str:
     """Reference severity mapping (core/services.py:40-68).
 
-    Concept-drift detectors are always critical; PSI severity scales with
-    threshold multiples; p-value tests scale inversely.
+    Concept-drift detectors are always critical; PSI and distance-style tests
+    scale with threshold multiples; p-value tests scale inversely. Callers
+    must apply the reference's guard (services.py:325-327): severity is only
+    meaningful when ``is_drifted`` — report 'info' otherwise.
     """
     if test_name in ("adwin", "ddm", "eddm", "cusum"):
         return "critical"
-    if test_name == "psi":
+    if test_name == "psi" or test_name in DISTANCE_TESTS:
         if score > threshold * 2:
             return "critical"
         if score > threshold * 1.5:

@@ -13,15 +13,21 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # p-value tests fire when score < threshold; score-style tests when score >
-# (reference retrain_trigger.py:239-244)
-P_VALUE_TESTS = {"ks", "chi_squared", "anderson_darling"}
+# (reference retrain_trigger.py:239-244). Comparison strictness follows each
+# kernel's own drift verdict: only PSI declares drift on >= (psi.py:181); the
+# distance tests (JS/Hellinger/Wasserstein/MMD) use strict >, so a boundary
+# score must not fire a retrain signal without a matching drift verdict.
+P_VALUE_TESTS = {"ks", "chi_squared", "chi2", "ks_2samp", "anderson_darling"}
+GTE_TESTS = {"psi"}
 
 
 def threshold_crossed(test_col, score_col, threshold_col):
-    """Direction-aware trigger predicate (F7)."""
-    return F.when(
-        test_col.isin(*P_VALUE_TESTS), score_col < threshold_col
-    ).otherwise(score_col >= threshold_col)
+    """Direction-aware trigger predicate (F7), matching kernel strictness."""
+    return (
+        F.when(test_col.isin(*P_VALUE_TESTS), score_col < threshold_col)
+        .when(test_col.isin(*GTE_TESTS), score_col >= threshold_col)
+        .otherwise(score_col > threshold_col)
+    )
 
 
 def dedup_key(rule_col, monitor_col, metric_col):

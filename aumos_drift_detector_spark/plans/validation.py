@@ -435,7 +435,14 @@ class ValidationRun:
                 )
                 continue
             test = r["test"]
-            sev = severity(float(r["score"]), float(r["threshold"]), test)
+            # reference guard (services.py:325-327): severity is only computed
+            # when drift fired; healthy rows are always 'info'
+            drifted = bool(r["is_drifted"])
+            sev = (
+                severity(float(r["score"]), float(r["threshold"]), test)
+                if drifted
+                else "info"
+            )
             results_rows.append(
                 dict(
                     run_id=self.run_id,

@@ -73,26 +73,30 @@ def streaming_detector(
         else:
             det = cls(**params)
         rows = []
-        n_before = 0
         for pdf in batches:
             pdf = pdf.sort_values(order_col, kind="mergesort")
             for seq, val in zip(pdf[order_col].to_numpy(), pdf[value_col].to_numpy()):
                 if val is None or (isinstance(val, float) and math.isnan(val)):
                     continue
-                n_before += 1
                 det.update(float(val))
                 level = det.detect()
                 if not events_only or level != NORMAL:
+                    st = det.get_state()
                     rows.append(
                         {
                             "stream_id": str(key[0]),
                             "seq": int(seq),
                             "level": level,
                             "window_size": int(
-                                getattr(det, "width", 0)
-                                or det.get_state().get("n_samples", 0)
+                                getattr(det, "width", 0) or st.get("n_samples", 0)
                             ),
-                            "n_updates": n_before,
+                            # cumulative over the whole stream (detector state
+                            # persists across micro-batches), matching the
+                            # batch replay_detector semantics — NOT the
+                            # batch-local counter
+                            "n_updates": int(
+                                st.get("total_updates") or st.get("n_samples") or 0
+                            ),
                         }
                     )
         state.update((json.dumps(det.dump()),))

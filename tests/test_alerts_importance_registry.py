@@ -64,6 +64,30 @@ class TestAlertGating:
         assert ("psi", 0.3, True) in fired      # score above threshold
         assert ("psi", 0.1, False) in fired
 
+    def test_threshold_strictness_matches_kernels(self, spark):
+        # boundary score: psi fires on >= (psi.py:181); distance tests only on
+        # strict > — a boundary JS score has is_drifted=False, so no trigger
+        df = spark.createDataFrame(
+            [
+                ("psi", 0.2, 0.2),
+                ("jensen_shannon", 0.1, 0.1),
+                ("jensen_shannon", 0.1000001, 0.1),
+                ("wasserstein", 0.1, 0.1),
+                ("hellinger", 0.15, 0.1),
+            ],
+            ["test", "score", "threshold"],
+        )
+        out = df.withColumn(
+            "fired",
+            alerts.threshold_crossed(F.col("test"), F.col("score"), F.col("threshold")),
+        ).collect()
+        fired = {(r["test"], r["score"]): r["fired"] for r in out}
+        assert fired[("psi", 0.2)] is True               # psi: >= fires
+        assert fired[("jensen_shannon", 0.1)] is False   # boundary: no trigger
+        assert fired[("jensen_shannon", 0.1000001)] is True
+        assert fired[("wasserstein", 0.1)] is False
+        assert fired[("hellinger", 0.15)] is True
+
 
 class TestLime:
     def test_shifted_feature_gets_weight(self, spark):

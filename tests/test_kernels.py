@@ -168,6 +168,14 @@ class TestSeverityMapping:
             (0.0, 0.0, "adwin", "critical"),
             (0.0, 0.0, "ddm", "critical"),
             (0.0, 0.0, "eddm", "critical"),
+            # distance-style tests scale like PSI (threshold multiples) —
+            # NOT the inverse p-value branch, where a near-zero score (the
+            # most similar distributions) would read as critical
+            (0.25, 0.1, "jensen_shannon", "critical"),
+            (0.16, 0.1, "hellinger", "warning"),
+            (0.11, 0.1, "wasserstein", "info"),
+            (0.001, 0.1, "jensen_shannon", "info"),
+            (0.0, 0.1, "mmd", "info"),
         ],
     )
     def test_mapping(self, score, thr, test, expected):
