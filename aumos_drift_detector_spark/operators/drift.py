@@ -40,6 +40,86 @@ from aumos_drift_detector_spark.operators.profile import (
 _REF, _PROD = 0, 1
 
 
+def _cumulative_per_value(
+    per_value: DataFrame,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    with_next_value: bool = False,
+    n_ranges: int | None = None,
+) -> DataFrame:
+    """Fully-parallel cumulative sums over per-(group, v) sketch rows.
+
+    The naive ECDF plan — ``Window.partitionBy(*group_cols).orderBy("v")`` —
+    funnels each group's ENTIRE distinct-value set through one task
+    (ungrouped: the whole table through one reducer). Fine at sf0.1, a
+    scale-killer on continuous columns at 100 TB where the distinct set is
+    ~row count. This helper is the scale-safe replacement (the classic
+    distributed prefix-sum):
+
+      1. ``repartitionByRange`` on (group..., v) splits each group's value
+         axis into contiguous chunks (a group's chunks are contiguous because
+         ranges are over the composite key).
+      2. Per-chunk totals aggregate in parallel; the chunk-totals table is
+         groups x n_ranges rows — bytes — so its per-group prefix sum runs in
+         a tiny window and broadcast-joins back as per-chunk offsets.
+      3. A window partitioned by (group, chunk) computes the LOCAL cumsum of
+         each chunk in parallel; local + offset = the global cumulative sum.
+
+    Cost: two shuffles of the per-value sketch (range + hash) instead of one
+    serial reducer — the right trade at scale. Input must be distinct on
+    (group..., v). Output adds ``cum_<c>`` and ``total_<c>`` for every sum
+    column, plus ``next_v`` (the next distinct value within the group, null at
+    the group's end) when ``with_next_value`` — stitched across chunk
+    boundaries via each chunk's broadcast per-group min.
+    """
+    spark = per_value.sparkSession
+    if n_ranges is None:
+        n_ranges = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    gcols = [F.col(g) for g in group_cols]
+    df = per_value.repartitionByRange(n_ranges, *gcols, F.col("v")).withColumn(
+        "_cid", F.spark_partition_id()
+    )
+    chunk_aggs = [F.sum(c).alias(f"_t_{c}") for c in sum_cols]
+    if with_next_value:
+        chunk_aggs.append(F.min("v").alias("_chunk_min_v"))
+    chunk = df.groupBy(*group_cols, "_cid").agg(*chunk_aggs)
+    # tiny per-group windows over <= n_ranges chunk rows
+    w_prev = Window.partitionBy(*gcols).orderBy("_cid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.partitionBy(*gcols)
+    off_cols = [
+        F.coalesce(F.sum(f"_t_{c}").over(w_prev), F.lit(0)).alias(f"_off_{c}")
+        for c in sum_cols
+    ] + [F.sum(f"_t_{c}").over(w_all).alias(f"total_{c}") for c in sum_cols]
+    if with_next_value:
+        w_next = Window.partitionBy(*gcols).orderBy("_cid")
+        off_cols.append(
+            F.lead("_chunk_min_v").over(w_next).alias("_next_chunk_min")
+        )
+    offsets = chunk.select(*group_cols, "_cid", *off_cols)
+    joined = df.join(F.broadcast(offsets), [*group_cols, "_cid"])
+    w_local = Window.partitionBy(*gcols, F.col("_cid")).orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out_cols = [
+        *per_value.columns,
+        *[
+            (F.sum(c).over(w_local) + F.col(f"_off_{c}")).alias(f"cum_{c}")
+            for c in sum_cols
+        ],
+        *[F.col(f"total_{c}") for c in sum_cols],
+    ]
+    if with_next_value:
+        w_lead = Window.partitionBy(*gcols, F.col("_cid")).orderBy("v")
+        out_cols.append(
+            F.coalesce(
+                F.lead("v").over(w_lead), F.col("_next_chunk_min")
+            ).alias("next_v")
+        )
+    return joined.select(*out_cols)
+
+
 def _sides(
     ref_df: DataFrame,
     prod_df: DataFrame,
@@ -210,9 +290,10 @@ def ks_test_grouped(
 ) -> pd.DataFrame:
     """Exact distributed KS statistic per group.
 
-    Pre-aggregates to per-(group, distinct value) counts — at token scale the
-    distinct-value set per group is tiny vs. row count — then one window sort
-    per group computes both ECDFs cumulatively; D = max |F_ref - F_prod|.
+    Pre-aggregates to per-(group, distinct value) counts, then the
+    range-partitioned two-pass prefix sum (``_cumulative_per_value``) builds
+    both ECDFs with every stage fully parallel — no single-reducer window
+    sort; D = max |F_ref - F_prod|.
     """
     threshold = config.ks_threshold if threshold is None else threshold
     sides = _sides(ref_df, prod_df, column, group_cols)
@@ -220,28 +301,14 @@ def ks_test_grouped(
         F.sum(F.when(F.col("side") == _REF, 1).otherwise(0)).alias("c_ref"),
         F.sum(F.when(F.col("side") == _PROD, 1).otherwise(0)).alias("c_prod"),
     )
-    w = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wall = Window.partitionBy(*[F.col(g) for g in group_cols])
-    cum = per_value.select(
-        *group_cols,
-        F.sum("c_ref").over(w).alias("cum_ref"),
-        F.sum("c_prod").over(w).alias("cum_prod"),
-    ).select(
-        *group_cols,
-        "cum_ref",
-        "cum_prod",
-        F.max("cum_ref").over(wall).alias("n_ref"),
-        F.max("cum_prod").over(wall).alias("n_prod"),
-    )
+    cum = _cumulative_per_value(per_value, group_cols, ["c_ref", "c_prod"])
     stats = cum.groupBy(*group_cols).agg(
-        F.max("n_ref").alias("n_ref"),
-        F.max("n_prod").alias("n_prod"),
+        F.max("total_c_ref").alias("n_ref"),
+        F.max("total_c_prod").alias("n_prod"),
         F.max(
             F.abs(
-                F.try_divide(F.col("cum_ref"), F.col("n_ref"))
-                - F.try_divide(F.col("cum_prod"), F.col("n_prod"))
+                F.try_divide(F.col("cum_c_ref"), F.col("total_c_ref"))
+                - F.try_divide(F.col("cum_c_prod"), F.col("total_c_prod"))
             )
         ).alias("d"),
     )
@@ -464,7 +531,8 @@ def wasserstein_test_grouped(
 
     W1 = Σ_i |F_ref(v_i) − F_prod(v_i)| · (v_{i+1} − v_i) over sorted distinct
     union values — identical to scipy.stats.wasserstein_distance. Same
-    pre-aggregate + single window sort structure as KS; the IQR (fallback
+    pre-aggregate + parallel prefix-sum structure as KS (``next_v`` stitches
+    the CDF-gap widths across range-chunk boundaries); the IQR (fallback
     population std, fallback 1.0 — wasserstein.py:52-56) fuses into the same job.
     """
     threshold = config.wasserstein_threshold if threshold is None else threshold
@@ -473,35 +541,19 @@ def wasserstein_test_grouped(
         F.sum(F.when(F.col("side") == _REF, 1).otherwise(0)).alias("c_ref"),
         F.sum(F.when(F.col("side") == _PROD, 1).otherwise(0)).alias("c_prod"),
     )
-    wcum = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wall = Window.partitionBy(*[F.col(g) for g in group_cols])
-    word = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy("v")
-    cum = per_value.select(
-        *group_cols,
-        F.col("v"),
-        F.sum("c_ref").over(wcum).alias("cum_ref"),
-        F.sum("c_prod").over(wcum).alias("cum_prod"),
-    ).select(
-        *group_cols,
-        "v",
-        "cum_ref",
-        "cum_prod",
-        (F.lead("v").over(word) - F.col("v")).alias("dv"),
-        F.max("cum_ref").over(wall).alias("n_ref"),
-        F.max("cum_prod").over(wall).alias("n_prod"),
+    cum = _cumulative_per_value(
+        per_value, group_cols, ["c_ref", "c_prod"], with_next_value=True
     )
     dist = cum.groupBy(*group_cols).agg(
         F.sum(
             F.abs(
-                F.try_divide(F.col("cum_ref"), F.col("n_ref"))
-                - F.try_divide(F.col("cum_prod"), F.col("n_prod"))
+                F.try_divide(F.col("cum_c_ref"), F.col("total_c_ref"))
+                - F.try_divide(F.col("cum_c_prod"), F.col("total_c_prod"))
             )
-            * F.coalesce(F.col("dv"), F.lit(0.0))
+            * F.coalesce(F.col("next_v") - F.col("v"), F.lit(0.0))
         ).alias("w1"),
-        F.max("n_ref").alias("n_ref"),
-        F.max("n_prod").alias("n_prod"),
+        F.max("total_c_ref").alias("n_ref"),
+        F.max("total_c_prod").alias("n_prod"),
     )
     # reference-side IQR + population std for normalization
     refstats = clean_values(ref_df, column, group_cols)
@@ -673,21 +725,17 @@ def anderson_darling_test_grouped(
         F.sum(F.when(F.col("side") == _REF, 1).otherwise(0)).alias("cr"),
         F.sum(F.when(F.col("side") == _PROD, 1).otherwise(0)).alias("cp"),
     )
-    wcum = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wall = Window.partitionBy(*[F.col(g) for g in group_cols])
     lj = F.col("cr") + F.col("cp")
-    cum = per_value.select(
+    cum = _cumulative_per_value(per_value, group_cols, ["cr", "cp"]).select(
         *group_cols,
         F.col("cr"),
         F.col("cp"),
         lj.alias("lj"),
-        (F.sum(F.col("cr") + F.col("cp")).over(wcum) - lj / 2.0).alias("bj"),
-        (F.sum("cr").over(wcum) - F.col("cr") / 2.0).alias("m_ref"),
-        (F.sum("cp").over(wcum) - F.col("cp") / 2.0).alias("m_prod"),
-        F.sum("cr").over(wall).alias("n_ref"),
-        F.sum("cp").over(wall).alias("n_prod"),
+        (F.col("cum_cr") + F.col("cum_cp") - lj / 2.0).alias("bj"),
+        (F.col("cum_cr") - F.col("cr") / 2.0).alias("m_ref"),
+        (F.col("cum_cp") - F.col("cp") / 2.0).alias("m_prod"),
+        F.col("total_cr").alias("n_ref"),
+        F.col("total_cp").alias("n_prod"),
     )
     n_total = F.col("n_ref") + F.col("n_prod")
     denom = F.col("bj") * (n_total - F.col("bj")) - n_total * F.col("lj") / 4.0

@@ -215,3 +215,114 @@ class TestJsHellingerWassersteinOperators:
         q75, q25 = np.percentile(a, [75, 25])
         expected = w1 / float(q75 - q25)
         assert res.score == pytest.approx(expected, rel=1e-9)
+
+
+class TestParallelPrefixSumPlans:
+    """The ECDF paths must be fully parallel — no single-reducer window sort.
+
+    A grouped KS/W1/AD plan with Window.partitionBy(group).orderBy(v) puts a
+    group's whole distinct-value set in one task; ungrouped, the whole table
+    lands on ONE reducer (`Exchange SinglePartition` feeding a Window). The
+    range-partitioned two-pass prefix sum removes that: grouped plans must
+    contain no SinglePartition exchange at all.
+    """
+
+    def _grouped_plan(self, spark, fn):
+        import pandas as pd
+
+        rng = np.random.default_rng(7)
+        pdf = pd.DataFrame(
+            {
+                "g": np.repeat(["a", "b"], 500),
+                "value": rng.normal(0, 1, 1000),
+            }
+        )
+        ref = spark.createDataFrame(pdf)
+        prod = spark.createDataFrame(pdf.assign(value=pdf["value"] + 0.5))
+        return ref, prod
+
+    @pytest.mark.parametrize(
+        "fn_name",
+        ["ks_test_grouped", "wasserstein_test_grouped", "anderson_darling_test_grouped"],
+    )
+    def test_no_single_partition_exchange(self, spark, fn_name):
+        from pyspark.sql import functions as F
+
+        ref, prod = self._grouped_plan(spark, fn_name)
+        # rebuild the distributed portion of each test's plan (pre-collect)
+        sides = drift._sides(ref, prod, "value", ("g",))
+        per_value = sides.groupBy("g", "v").agg(
+            F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("c_ref"),
+            F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("c_prod"),
+        )
+        cum = drift._cumulative_per_value(
+            per_value, ("g",), ["c_ref", "c_prod"],
+            with_next_value=(fn_name == "wasserstein_test_grouped"),
+        )
+        stats = cum.groupBy("g").agg(F.max("cum_c_ref"))
+        plan = stats._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange SinglePartition" not in plan, plan
+
+    def test_cumulative_helper_matches_serial_window(self, spark):
+        """Value parity: parallel prefix sum == naive single-window cumsum."""
+        import pandas as pd
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        rng = np.random.default_rng(11)
+        pdf = pd.DataFrame(
+            {
+                "g": rng.choice(["x", "y", "z"], 2000),
+                "v": np.round(rng.normal(0, 10, 2000), 1),
+            }
+        ).drop_duplicates(["g", "v"])
+        pdf["c1"] = rng.integers(1, 9, len(pdf))
+        pdf["c2"] = rng.integers(0, 5, len(pdf))
+        df = spark.createDataFrame(pdf)
+
+        got = (
+            drift._cumulative_per_value(df, ("g",), ["c1", "c2"], with_next_value=True)
+            .toPandas()
+            .sort_values(["g", "v"])
+            .reset_index(drop=True)
+        )
+        w = Window.partitionBy("g").orderBy("v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        wl = Window.partitionBy("g").orderBy("v")
+        wa = Window.partitionBy("g")
+        want = (
+            df.select(
+                "g",
+                "v",
+                F.sum("c1").over(w).alias("cum_c1"),
+                F.sum("c2").over(w).alias("cum_c2"),
+                F.sum("c1").over(wa).alias("total_c1"),
+                F.sum("c2").over(wa).alias("total_c2"),
+                F.lead("v").over(wl).alias("next_v"),
+            )
+            .toPandas()
+            .sort_values(["g", "v"])
+            .reset_index(drop=True)
+        )
+        for c in ["cum_c1", "cum_c2", "total_c1", "total_c2"]:
+            assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+        nv_got, nv_want = got["next_v"].to_numpy(), want["next_v"].to_numpy()
+        both_nan = pd.isna(nv_got) & pd.isna(nv_want)
+        assert (both_nan | (nv_got == nv_want)).all()
+
+    def test_ungrouped_parity_small_vs_many_ranges(self, spark, value_df_factory):
+        # results must be invariant to the number of range chunks
+        rng = np.random.default_rng(3)
+        a, b = rng.normal(0, 1, 500), rng.normal(0.3, 1, 400)
+        ref, prod = value_df_factory(a), value_df_factory(b)
+        base = drift.ks_test(ref, prod, "value")
+        ad = drift.anderson_darling_test(ref, prod, "value")
+        w1 = drift.wasserstein_test(ref, prod, "value")
+        # recompute KS D with numpy
+        allv = np.sort(np.unique(np.concatenate([a, b])))
+        fa = np.searchsorted(np.sort(a), allv, side="right") / len(a)
+        fb = np.searchsorted(np.sort(b), allv, side="right") / len(b)
+        assert base.details["statistic"] == pytest.approx(float(np.max(np.abs(fa - fb))), abs=1e-12)
+        assert 0.0 <= ad.score <= 0.25
+        assert w1.score > 0
