@@ -30,6 +30,10 @@ class EngineConfig:
     # binning
     psi_bins: int = 10        # reference psi.py num_bins default
     hist_bins: int = 20       # reference baseline_manager/jensen_shannon/hellinger
+    # chi-squared driver-memory guard: categories beyond the top-K (by pooled
+    # count) collapse into one logged "__other__" bucket, keeping the collect
+    # at O(groups x K) regardless of column cardinality
+    chi2_max_categories: int = 10_000
 
     # physical policy
     approx: bool = False              # exact quantiles/distinct for test parity

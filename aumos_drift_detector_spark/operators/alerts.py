@@ -57,16 +57,117 @@ def gate_alerts(
         .agg(F.max(ts_col).alias("_last_ts"))
     )
     joined = candidates.join(F.broadcast(last_fired), "dedup_key", "left")
+    # per-rule cooldown when the candidates carry one (evaluate_rules path),
+    # else the global parameter (alert_system.py:313: rule.cooldown_minutes)
+    cd_minutes = (
+        F.col("cooldown_minutes")
+        if "cooldown_minutes" in candidates.columns
+        else F.lit(cooldown_minutes)
+    )
     in_cooldown = (
         F.col("_last_ts").isNotNull()
         & (
             F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.col("_last_ts"))
-            < cooldown_minutes * 60
+            < cd_minutes * 60
         )
     )
     return joined.withColumn(
         "status", F.when(in_cooldown, "suppressed").otherwise("dispatched")
     ).drop("_last_ts")
+
+
+def evaluate_rules(
+    metrics: DataFrame,
+    rules: DataFrame,
+    ts_col: str = "detected_at",
+) -> DataFrame:
+    """Evaluate alert rules against metric rows (alert_system.py:267-344).
+
+    ``metrics``: (monitor_id, model_id, metric, value, <ts_col>).
+    ``rules``: (rule_id, metric, threshold, comparison 'gt'|'lt', severity,
+    monitor_id?, model_id?, cooldown_minutes, enabled) — a small config
+    dimension, broadcast. A rule scoped to a monitor/model only matches rows
+    with that id (NULL scope matches everything, reference :293-296).
+
+    Returns candidate alerts (threshold crossed only) with the reference's
+    dedup key; feed through ``gate_alerts`` for cooldown suppression.
+    """
+    r = F.broadcast(
+        rules.where(F.col("enabled")).select(
+            F.col("rule_id").cast("string").alias("_rule_id"),
+            F.col("metric").alias("_metric"),
+            F.col("threshold").alias("_threshold"),
+            F.col("comparison").alias("_comparison"),
+            F.col("severity").alias("_severity"),
+            F.col("monitor_id").cast("string").alias("_rule_monitor"),
+            F.col("model_id").cast("string").alias("_rule_model"),
+            F.col("cooldown_minutes").alias("cooldown_minutes"),
+        )
+    )
+    joined = metrics.join(
+        r,
+        (F.col("metric") == F.col("_metric"))
+        & (F.col("_rule_monitor").isNull() | (F.col("_rule_monitor") == F.col("monitor_id")))
+        & (F.col("_rule_model").isNull() | (F.col("_rule_model") == F.col("model_id"))),
+        "inner",
+    )
+    crossed = F.when(
+        F.col("_comparison") == "gt", F.col("value") > F.col("_threshold")
+    ).otherwise(F.col("value") < F.col("_threshold"))
+    return joined.where(crossed).select(
+        F.col("_rule_id").alias("rule_id"),
+        F.col("monitor_id"),
+        F.col("model_id"),
+        F.col("metric"),
+        F.col("value").alias("metric_value"),
+        F.col("_threshold").alias("threshold"),
+        F.col("_severity").alias("severity"),
+        F.col("cooldown_minutes"),
+        F.col(ts_col),
+        dedup_key(F.col("_rule_id"), F.col("monitor_id"), F.col("metric")).alias(
+            "dedup_key"
+        ),
+        F.format_string(
+            "%s crossed threshold: value=%.4f threshold=%.4f",
+            F.col("metric"),
+            F.col("value").cast("double"),
+            F.col("_threshold").cast("double"),
+        ).alias("message"),
+    )
+
+
+def escalate_overdue_alerts(
+    alerts: DataFrame,
+    escalation_timeout_minutes: int = 120,
+    now_ts=None,
+    ts_col: str = "detected_at",
+) -> DataFrame:
+    """Escalate unacknowledged WARNING alerts past the timeout.
+
+    Reference alert_system.py:346-383: dispatched + warning + older than the
+    timeout -> severity CRITICAL, status 'escalated', message prefixed
+    '[ESCALATED] ', escalated_at stamped. Returns exactly the escalated rows
+    (append them to the alerts table; the dispatched originals remain as
+    history, the idempotent batch analogue of the reference's in-place
+    mutation).
+    """
+    now_expr = F.lit(now_ts).cast("timestamp") if now_ts is not None else F.current_timestamp()
+    overdue = (
+        (F.col("status") == "dispatched")
+        & (F.col("severity") == "warning")
+        & F.col(ts_col).isNotNull()
+        & (
+            F.unix_timestamp(now_expr) - F.unix_timestamp(F.col(ts_col))
+            >= escalation_timeout_minutes * 60
+        )
+    )
+    return (
+        alerts.where(overdue)
+        .withColumn("status", F.lit("escalated"))
+        .withColumn("severity", F.lit("critical"))
+        .withColumn("escalated_at", now_expr)
+        .withColumn("message", F.concat(F.lit("[ESCALATED] "), F.col("message")))
+    )
 
 
 def cooldown_clear(

@@ -623,17 +623,46 @@ def chi2_test_grouped(
     Category alignment = groupBy counts per side + pandas outer alignment
     (the distributed analogue of the reference's sorted key-union,
     chi_squared.py:140-149). Values are cast to string (chi_squared.py:194).
+
+    Driver-memory guard: only the top ``config.chi2_max_categories``
+    categories per group (by pooled count, ties broken by value) collect
+    individually; the tail collapses into one logged ``__other__`` bucket, so
+    the collect stays O(groups x K) for columns of any cardinality. Under the
+    cap the result is identical to the unguarded test. The rank window runs
+    over per-category sketch rows, not raw data; for domains where even the
+    distinct set is huge (e.g. token ids) use the fixed-domain binned path
+    (``histogram_kernel_from_counts``) instead.
     """
     threshold = config.chi2_threshold if threshold is None else threshold
+    cap = config.chi2_max_categories
     sides = _sides(ref_df, prod_df, column, group_cols, cast_double=False)
     # group on the NATIVE type — string hash-aggregation is ~15x slower on
     # wide explode inputs; stringify categories in the tiny finalize instead
     # (the reference's str coercion, chi_squared.py:194, applied post-agg)
-    counts = sides.groupBy(*group_cols, "side", "v").agg(
-        F.count(F.lit(1)).alias("cnt")
+    per_cat = sides.groupBy(*group_cols, "v").agg(
+        F.sum(F.when(F.col("side") == _REF, 1).otherwise(0)).alias("c_ref"),
+        F.sum(F.when(F.col("side") == _PROD, 1).otherwise(0)).alias("c_prod"),
+    )
+    w_rank = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy(
+        F.desc(F.col("c_ref") + F.col("c_prod")), F.col("v")
+    )
+    guarded = per_cat.withColumn(
+        "_is_other", F.row_number().over(w_rank) > cap
+    )
+    counts = guarded.groupBy(
+        *group_cols,
+        "_is_other",
+        F.when(F.col("_is_other"), F.lit(None)).otherwise(F.col("v")).alias("v"),
+    ).agg(
+        F.sum("c_ref").alias("c_ref"),
+        F.sum("c_prod").alias("c_prod"),
+        F.count(F.lit(1)).alias("n_cats"),
     )
     pdf = counts.toPandas()
-    pdf["v"] = pdf["v"].astype(str)
+    # preserve the reference's python str() coercion for kept categories
+    pdf["v"] = np.where(
+        pdf["_is_other"], "__other__", pdf["v"].astype(str)
+    )
     verdicts = []
     keys = (
         pdf[list(group_cols)].drop_duplicates().itertuples(index=False, name=None)
@@ -644,10 +673,11 @@ def chi2_test_grouped(
         sub = pdf
         for g, kv in zip(group_cols, key):
             sub = sub[sub[g] == kv]
-        ref_counts = dict(zip(sub[sub["side"] == _REF]["v"], sub[sub["side"] == _REF]["cnt"]))
-        prod_counts = dict(zip(sub[sub["side"] == _PROD]["v"], sub[sub["side"] == _PROD]["cnt"]))
-        cats = sorted(set(ref_counts) | set(prod_counts))
-        if not ref_counts:
+        ref_counts = dict(zip(sub["v"], sub["c_ref"]))
+        prod_counts = dict(zip(sub["v"], sub["c_prod"]))
+        cats = sorted(k for k in set(ref_counts) | set(prod_counts))
+        n_collapsed = int(sub[sub["_is_other"]]["n_cats"].sum())
+        if not any(ref_counts.get(c, 0) > 0 for c in cats):
             verdicts.append((key, None, "reference_counts must not be empty"))
             continue
         try:
@@ -658,6 +688,9 @@ def chi2_test_grouped(
                 threshold,
                 feature_name=column,
             )
+            if n_collapsed:
+                v.details["other_bucket_categories"] = n_collapsed
+                v.details["max_categories"] = cap
             verdicts.append((key, v, None))
         except ValueError as e:
             verdicts.append((key, None, str(e)))

@@ -16,8 +16,27 @@ over ``(doc_id, tokens, n_tok, source)`` that
    from the manifest: partitions already completed for a run_id are pruned
    from every input scan on rerun.
 
+Exactly-once resume protocol (kill-safe):
+  * violations and results are written ``partitionBy(run_id, check_name,
+    partition_value)`` / ``(run_id, partition_value)`` with DYNAMIC partition
+    overwrite — a rerun of the same partitions replaces any rows a killed
+    attempt left behind instead of appending duplicates;
+  * the manifest append for a batch happens strictly AFTER that batch's
+    violations + results land, so a manifest row is the commit record: kill
+    anywhere → rerun redoes exactly the uncommitted partitions and total
+    output equals an uninterrupted run;
+  * ``partition_batch_size`` bounds the work between commit points (None =
+    single batch: one set of bulk jobs, still exactly-once, but a kill loses
+    the whole attempt's progress).
+  * cross-partition (global) checks — uniqueness, schema — always scan the
+    FULL table, not just pending partitions, so duplicates spanning
+    already-completed partitions are found on resume; they run in the first
+    batch of a fresh run and are skipped when any partition is already
+    committed (their output is already on disk from that attempt).
+
 Scale notes: all heavy passes are grouped-by-`source` single jobs (no
-per-partition job loop — 10^4 partitions would mean 10^4 job launches);
+per-partition job loop — 10^4 partitions would mean 10^4 job launches;
+``partition_batch_size`` trades commit granularity against job count);
 drift finalization handles groups x bins sketch rows driver-side. The token
 histogram pass explodes tokens; ``token_sample_fraction`` bounds it at scale
 (sampling is LOGGED in the results row — no silent caps).
@@ -82,6 +101,12 @@ MANIFEST_SCHEMA = T.StructType(
     ]
 )
 
+# checks that scan the full table (cross-partition semantics), vs checks whose
+# violations are attributable to a single partition's rows
+GLOBAL_CHECKS = ("schema", "uniqueness")
+PARTITION_CHECKS = ("null_rate", "referential", "ntok_matches_size", "token_equality")
+CHECK_NAMES = GLOBAL_CHECKS + PARTITION_CHECKS
+
 
 @dataclass
 class ValidationReport:
@@ -102,6 +127,9 @@ class ValidationSettings:
     max_null_fraction: float = 0.05
     token_sample_fraction: float = 1.0  # <1.0 bounds the explode at scale
     run_token_histogram: bool = True
+    # commit granularity: partitions per batch (None = all pending in one
+    # batch). Smaller batches = less lost work on a kill, more job launches.
+    partition_batch_size: int | None = None
     engine: EngineConfig = field(default_factory=lambda: DEFAULT_CONFIG)
 
 
@@ -153,28 +181,58 @@ class ValidationRun:
             for r in self.current.select(part).distinct().collect()
         ]
         done = self._completed_partitions() if resume else set()
-        # __global__ covers cross-partition checks (uniqueness, schema)
         pending = sorted(p for p in all_parts if p not in done)
         skipped = sorted(p for p in all_parts if p in done)
 
         if not pending:
             return ValidationReport(self.run_id, [], skipped, pd.DataFrame(), {}, 0)
 
-        cur = self.current.where(F.col(part).isin(pending))
-        base = self.baseline.where(F.col(part).isin(pending))
-        now = datetime.now(tz=timezone.utc)
+        bsz = s.partition_batch_size or len(pending)
+        batches = [pending[i : i + bsz] for i in range(0, len(pending), bsz)]
+        # globals already committed iff any partition committed (they commit
+        # with the first successful batch of the run)
+        run_globals_next = not done
 
         results_rows: list[dict] = []
-        violation_counts: dict[str, int] = {}
+        for batch in batches:
+            self._run_batch(batch, run_globals_next, results_rows)
+            run_globals_next = False
 
-        # ---- build phase: every check is LAZY ---------------------------------
+        violation_counts = self._violation_counts()
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        return ValidationReport(
+            run_id=self.run_id,
+            partitions=pending,
+            skipped_partitions=skipped,
+            results=pd.DataFrame(results_rows),
+            violation_counts=violation_counts,
+            wall_ms=wall_ms,
+        )
+
+    # -- one commit unit ----------------------------------------------------
+
+    def _run_batch(
+        self,
+        batch: list[str],
+        include_globals: bool,
+        results_rows: list[dict],
+    ) -> None:
+        tb = time.monotonic()
+        s = self.s
+        part = s.partition_col
+        cur = self.current.where(F.col(part).isin(batch))
+        base = self.baseline.where(F.col(part).isin(batch))
+        now = datetime.now(tz=timezone.utc)
+
+        # ---- build phase: every check is LAZY ------------------------------
         # Eagerly counting each check's violations costs one Spark job per
         # check; instead all violation DataFrames union into ONE write, and
-        # counts come back from the written parquet in one tiny read. The
-        # sketch-producing drift jobs are independent, so they are submitted
-        # CONCURRENTLY from a thread pool — the Spark scheduler interleaves
-        # their stages, hiding driver/codegen latency (per-job fixed cost is
-        # the Amdahl term that killed 8->32 scaling efficiency otherwise).
+        # counts come back from the written parquet in one tiny
+        # partition-pruned read. The sketch-producing drift jobs are
+        # independent, so they are submitted CONCURRENTLY from a thread pool —
+        # the Spark scheduler interleaves their stages, hiding driver/codegen
+        # latency (per-job fixed cost is the Amdahl term that killed 8->32
+        # scaling efficiency otherwise).
         check_meta: dict[str, dict] = {}
 
         def lazy_check(res: C.CheckResult) -> DataFrame:
@@ -192,21 +250,11 @@ class ValidationRun:
                 F.col("detail"),
             )
 
-        check_names = [
-            "schema", "null_rate", "uniqueness", "referential",
-            "ntok_matches_size", "token_equality",
-        ]
         violation_frames = [
-            lazy_check(C.schema_check(cur, TOKEN_SCHEMA)),
             lazy_check(
                 C.null_rate_check(
                     cur, [s.tokens_col, s.ntok_col], s.max_null_fraction, (part,),
                     eager=False,
-                )
-            ),
-            lazy_check(
-                C.uniqueness_check(
-                    cur, s.key_col, partition_col=part, config=s.engine, eager=False
                 )
             ),
             lazy_check(
@@ -232,24 +280,62 @@ class ValidationRun:
                 )
             ),
         ]
+        if include_globals:
+            # full-table scans: duplicates spanning completed partitions must
+            # be found even on resume (cross-partition semantics)
+            violation_frames.insert(
+                0, lazy_check(C.schema_check(self.current, TOKEN_SCHEMA))
+            )
+            violation_frames.insert(
+                1,
+                lazy_check(
+                    C.uniqueness_check(
+                        self.current, s.key_col, partition_col=part,
+                        config=s.engine, eager=False,
+                    )
+                ),
+            )
         all_vio = violation_frames[0]
         for vf in violation_frames[1:]:
             all_vio = all_vio.unionByName(vf)
+        batch_checks = (
+            list(CHECK_NAMES) if include_globals else list(PARTITION_CHECKS)
+        )
 
-        # ---- execute phase: concurrent job submission -------------------------
+        # ---- execute phase: concurrent job submission -----------------------
         from concurrent.futures import ThreadPoolExecutor
 
         def job_violations():
-            all_vio.write.mode("append").parquet(f"{self.out_dir}/violations")
-            written = (
-                self.spark.read.parquet(f"{self.out_dir}/violations")
-                .where(F.col("run_id") == self.run_id)
-                .groupBy("check_name")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
+            # dynamic partition overwrite: replaces exactly the (run, check,
+            # partition) dirs this batch produces — idempotent across retries
+            (
+                all_vio.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("run_id", "check_name", "partition_value")
+                .parquet(f"{self.out_dir}/violations")
             )
-            counts = {r["check_name"]: r["n"] for r in written}
-            return {name: counts.get(name, 0) for name in check_names}
+            try:
+                written = (
+                    self.spark.read.parquet(f"{self.out_dir}/violations")
+                    .where(
+                        (F.col("run_id") == self.run_id)
+                        & F.col("check_name").isin(batch_checks)
+                        & (
+                            F.col("partition_value").isin(batch + ["__global__"])
+                            | F.lit(include_globals)  # globals span all partitions
+                        )
+                    )
+                    .groupBy("check_name", "partition_value")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                )
+            except Exception:
+                # zero violations ever written -> no partition dirs to infer
+                written = []
+            counts: dict[tuple[str, str], int] = {
+                (r["check_name"], r["partition_value"]): r["n"] for r in written
+            }
+            return counts
 
         def job_profile():
             return profile_columns(cur, [s.ntok_col], (part,), s.engine).toPandas()
@@ -282,7 +368,7 @@ class ValidationRun:
             fut_js = pool.submit(job_drift, D.js_test_grouped, s.ntok_col)
             fut_tok = pool.submit(job_token_hist)
 
-            violation_counts = fut_vio.result()
+            vio_counts = fut_vio.result()
             prof = fut_prof.result()
             drift_frames = [
                 ("psi", fut_psi.result()),
@@ -291,31 +377,46 @@ class ValidationRun:
             ]
             tok_counts_pdf = fut_tok.result()
 
-        # ---- finalize (driver-side, sketch-sized) ------------------------------
-        for name in check_names:
-            n_vio = violation_counts[name]
-            results_rows.append(
-                dict(
-                    run_id=self.run_id,
-                    partition_value="__global__",
-                    check_name=name,
-                    feature=str(
-                        check_meta.get(name, {}).get("key")
-                        or check_meta.get(name, {}).get("fk")
-                        or check_meta.get(name, {}).get("predicate", "")
-                    ),
-                    score=float(n_vio),
-                    threshold=0.0,
-                    is_drifted=n_vio > 0,
-                    severity="critical" if n_vio > 0 else "info",
-                    action="retrain" if n_vio > 0 else "ignore",
-                    details={k: str(v) for k, v in check_meta.get(name, {}).items()},
-                    detected_at=now,
-                )
+        # ---- finalize (driver-side, sketch-sized) ---------------------------
+        batch_rows: list[dict] = []
+
+        def check_row(name: str, pval: str, n_vio: int) -> dict:
+            return dict(
+                run_id=self.run_id,
+                partition_value=pval,
+                check_name=name,
+                feature=str(
+                    check_meta.get(name, {}).get("key")
+                    or check_meta.get(name, {}).get("fk")
+                    or check_meta.get(name, {}).get("predicate", "")
+                ),
+                score=float(n_vio),
+                threshold=0.0,
+                is_drifted=n_vio > 0,
+                severity="critical" if n_vio > 0 else "info",
+                action="retrain" if n_vio > 0 else "ignore",
+                details={k: str(v) for k, v in check_meta.get(name, {}).items()},
+                detected_at=now,
             )
 
+        if include_globals:
+            # one aggregate row per global check (violations may span every
+            # partition — per-partition attribution lives in the violations
+            # table itself)
+            for name in GLOBAL_CHECKS:
+                total = sum(n for (c, _), n in vio_counts.items() if c == name)
+                batch_rows.append(check_row(name, "__global__", total))
+        for name in PARTITION_CHECKS:
+            for p in batch:
+                batch_rows.append(check_row(name, p, vio_counts.get((name, p), 0)))
+            n_unattributed = vio_counts.get((name, "__global__"), 0)
+            if n_unattributed:
+                batch_rows.append(check_row(name, "__global__", n_unattributed))
+
+        rows_per_part: dict[str, int] = {}
         for _, r in prof.iterrows():
-            results_rows.append(
+            rows_per_part[str(r[part])] = int(r["total_rows"])
+            batch_rows.append(
                 dict(
                     run_id=self.run_id,
                     partition_value=str(r[part]),
@@ -338,7 +439,7 @@ class ValidationRun:
             )
 
         for test_name, frame in drift_frames:
-            self._record_drift(frame, test_name, results_rows, now, part)
+            self._record_drift(frame, test_name, batch_rows, now, part)
 
         if tok_counts_pdf is not None:
             extra = {
@@ -349,37 +450,32 @@ class ValidationRun:
                 tok_counts_pdf, "js", (part,), 256, s.engine.js_threshold,
                 feature="token_id",
             )
-            self._record_drift(js, "token_hist_js", results_rows, now, part, extra)
+            self._record_drift(js, "token_hist_js", batch_rows, now, part, extra)
             chi2 = D.histogram_kernel_from_counts(
                 tok_counts_pdf, "chi2", (part,), 256, s.engine.chi2_threshold,
                 feature="token_id",
             )
             self._record_drift(
-                chi2, "token_hist_chi2", results_rows, now, part, extra
+                chi2, "token_hist_chi2", batch_rows, now, part, extra
             )
 
-        # -- write outputs ----------------------------------------------------
-        results_pdf = pd.DataFrame(results_rows)
+        # ---- commit: results (idempotent) then manifest (commit record) ----
         results_df = self.spark.createDataFrame(
-            [
-                tuple(row[f.name] for f in RESULTS_SCHEMA.fields)
-                for row in results_rows
-            ],
+            [tuple(row[f.name] for f in RESULTS_SCHEMA.fields) for row in batch_rows],
             RESULTS_SCHEMA,
         )
-        results_df.write.mode("append").parquet(f"{self.out_dir}/results")
-        # violations were already written (single unioned write) in the
-        # concurrent execute phase
+        (
+            results_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("run_id", "partition_value")
+            .parquet(f"{self.out_dir}/results")
+        )
 
-        rows_per_part = {
-            r[0]: r[1]
-            for r in cur.groupBy(part).agg(F.count(F.lit(1))).collect()
-        }
-        wall_ms = int((time.monotonic() - t0) * 1000)
+        wall_ms = int((time.monotonic() - tb) * 1000)
         lineage = json.dumps(
             {
                 "engine": "aumos_drift_detector_spark",
-                "checks": sorted(violation_counts),
+                "checks": sorted(batch_checks),
                 "inputs": {"current": "df", "baseline": "df"},
                 "settings": {
                     "token_sample_fraction": s.token_sample_fraction,
@@ -392,20 +488,34 @@ class ValidationRun:
                 self.run_id, p, "done", int(rows_per_part.get(p, 0)),
                 wall_ms, lineage, datetime.now(tz=timezone.utc),
             )
-            for p in pending
+            for p in batch
         ]
         self.spark.createDataFrame(manifest_rows, MANIFEST_SCHEMA).write.mode(
             "append"
         ).parquet(f"{self.out_dir}/manifest")
+        results_rows.extend(batch_rows)
 
-        return ValidationReport(
-            run_id=self.run_id,
-            partitions=pending,
-            skipped_partitions=skipped,
-            results=results_pdf,
-            violation_counts=violation_counts,
-            wall_ms=wall_ms,
-        )
+    # -- final read-backs ----------------------------------------------------
+
+    def _violation_counts(self) -> dict[str, int]:
+        """Per-check totals for the run from the committed violations table.
+
+        Reading the idempotently-written table (rather than summing in-memory
+        attempt counts) makes the report reflect exactly what is on disk —
+        including batches committed by a previous, killed attempt.
+        """
+        try:
+            written = (
+                self.spark.read.parquet(f"{self.out_dir}/violations")
+                .where(F.col("run_id") == self.run_id)
+                .groupBy("check_name")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+        except Exception:
+            written = []
+        counts = {r["check_name"]: r["n"] for r in written}
+        return {name: counts.get(name, 0) for name in CHECK_NAMES}
 
     def _record_drift(
         self,
@@ -451,9 +561,9 @@ class ValidationRun:
                     feature=str(r["feature"]),
                     score=float(r["score"]),
                     threshold=float(r["threshold"]),
-                    is_drifted=bool(r["is_drifted"]),
+                    is_drifted=drifted,
                     severity=sev,
-                    action=recommended_action(bool(r["is_drifted"]), sev),
+                    action=recommended_action(drifted, sev),
                     details={
                         "test": str(test),
                         "reference_size": str(r["reference_size"]),

@@ -326,3 +326,78 @@ class TestParallelPrefixSumPlans:
         assert base.details["statistic"] == pytest.approx(float(np.max(np.abs(fa - fb))), abs=1e-12)
         assert 0.0 <= ad.score <= 0.25
         assert w1.score > 0
+
+
+class TestChi2HighCardinalityGuard:
+    def test_under_cap_identical(self, spark):
+        # guard must be a no-op below the cap
+        from aumos_drift_detector_spark.config import EngineConfig
+
+        rng = np.random.default_rng(5)
+        ref = spark.createDataFrame(
+            pd.DataFrame({"c": rng.choice(list("abcdef"), 2000)})
+        )
+        prod = spark.createDataFrame(
+            pd.DataFrame({"c": rng.choice(list("abcdef"), 1500)})
+        )
+        base = drift.chi2_test(ref, prod, "c")
+        assert "other_bucket_categories" not in base.details
+        assert len(base.details["categories"]) == 6
+
+    def test_tail_collapses_into_logged_other(self, spark):
+        from aumos_drift_detector_spark.config import EngineConfig
+
+        cfg = EngineConfig(chi2_max_categories=3)
+        # 2 hot categories + 50 rare ones
+        vals = ["hot1"] * 500 + ["hot2"] * 400 + [f"rare{i}" for i in range(50)]
+        ref = spark.createDataFrame(pd.DataFrame({"c": vals}))
+        prod = spark.createDataFrame(pd.DataFrame({"c": vals}))
+        res = drift.chi2_test(ref, prod, "c", config=cfg)
+        cats = res.details["categories"]
+        assert "__other__" in cats
+        assert len(cats) == 4  # top 3 + other
+        assert res.details["other_bucket_categories"] == 49
+        assert res.details["max_categories"] == 3
+        # identical sides -> no drift even after collapsing
+        assert not res.is_drifted
+        # counts conserved
+        assert sum(res.details["reference_counts"]) == len(vals)
+
+    def test_collapsed_matches_numpy(self, spark):
+        from aumos_drift_detector_spark.config import EngineConfig
+        from aumos_drift_detector_spark.functions.kernels import chi2_from_counts
+
+        cfg = EngineConfig(chi2_max_categories=2)
+        ref_counts = {"a": 100, "b": 80, "c": 30, "d": 20}
+        prod_counts = {"a": 50, "b": 90, "c": 40, "d": 10}
+        mk = lambda d: spark.createDataFrame(
+            pd.DataFrame({"c": [k for k, n in d.items() for _ in range(n)]})
+        )
+        res = drift.chi2_test(mk(ref_counts), mk(prod_counts), "c", config=cfg)
+        # pooled top-2 = a(150), b(170) -> keep a,b; other = c+d
+        want = chi2_from_counts(
+            ["__other__", "a", "b"],
+            [50, 100, 80],
+            [50, 50, 90],
+            0.05,
+        )
+        assert res.score == pytest.approx(want.score, rel=1e-12)
+        assert res.details["statistic"] == pytest.approx(
+            want.details["statistic"], rel=1e-12
+        )
+
+    def test_grouped_guard(self, spark):
+        from aumos_drift_detector_spark.config import EngineConfig
+
+        cfg = EngineConfig(chi2_max_categories=2)
+        pdf = pd.DataFrame(
+            {
+                "g": ["x"] * 300 + ["y"] * 300,
+                "c": (["a"] * 150 + ["b"] * 100 + [f"r{i}" for i in range(50)]) * 2,
+            }
+        )
+        ref = spark.createDataFrame(pdf)
+        out = drift.chi2_test_grouped(ref, ref, "c", ("g",), config=cfg)
+        assert len(out) == 2
+        assert (out["error"].isna() | (out["error"] == None)).all()  # noqa: E711
+        assert not out["is_drifted"].any()

@@ -120,3 +120,132 @@ class TestDriftedVariant:
         assert drift["is_drifted"].all()
         psi = res[res["check_name"] == "psi"]
         assert (psi["score"] >= 0.2).all()
+
+
+class TestKillSafeResume:
+    """BASELINE.md protocol step 5: kill mid-run, rerun, totals equal an
+    uninterrupted run — violations/results idempotent, manifest = commit record."""
+
+    def _mk(self, spark, tmp_path, run_id, batch_size=None, n_rows=1200):
+        cur, base, dim, exp = generate_token_tables(spark, n_rows=n_rows, seed=42)
+        out = str(tmp_path / "out")
+        run = ValidationRun(
+            spark, cur, base, dim, out, run_id=run_id,
+            settings=ValidationSettings(
+                run_token_histogram=False, partition_batch_size=batch_size
+            ),
+        )
+        return run, out, exp
+
+    def test_crash_after_violations_before_manifest(self, spark, tmp_path, monkeypatch):
+        # ADVICE scenario: violations land, manifest append never happens ->
+        # rerun must OVERWRITE the orphaned rows, not append duplicates
+        run, out, exp = self._mk(spark, tmp_path, "killrun01")
+
+        import aumos_drift_detector_spark.plans.validation as V
+
+        real_create = spark.createDataFrame
+        def boom(data, schema=None, *a, **k):
+            if schema is V.MANIFEST_SCHEMA:
+                raise RuntimeError("simulated kill before manifest commit")
+            return real_create(data, schema, *a, **k)
+        monkeypatch.setattr(run.spark, "createDataFrame", boom)
+        with pytest.raises(RuntimeError, match="simulated kill"):
+            run.run()
+        monkeypatch.undo()
+
+        # orphaned violations exist on disk now; rerun same run_id
+        rerun = ValidationRun(
+            spark, run.current, run.baseline, run.sources_dim, out,
+            run_id="killrun01",
+            settings=ValidationSettings(run_token_histogram=False),
+        )
+        report = rerun.run()
+        assert report.skipped_partitions == []  # nothing committed
+        vc = report.violation_counts
+        assert vc["uniqueness"] == exp.uniqueness       # NOT doubled
+        assert vc["referential"] == exp.referential
+        assert vc["token_equality"] == exp.token_equality
+        vio = spark.read.parquet(f"{out}/violations")
+        on_disk = vio.where(
+            (F.col("run_id") == "killrun01") & (F.col("check_name") == "uniqueness")
+        ).count()
+        assert on_disk == exp.uniqueness
+
+    def test_batched_kill_skips_committed_partitions(self, spark, tmp_path, monkeypatch):
+        run, out, exp = self._mk(spark, tmp_path, "killrun02", batch_size=2)
+
+        # let exactly one batch commit, then die
+        calls = {"n": 0}
+        real_batch = run._run_batch
+        def flaky(batch, include_globals, rows):
+            if calls["n"] >= 1:
+                raise RuntimeError("simulated kill after first batch")
+            calls["n"] += 1
+            return real_batch(batch, include_globals, rows)
+        monkeypatch.setattr(run, "_run_batch", flaky)
+        with pytest.raises(RuntimeError, match="after first batch"):
+            run.run()
+        monkeypatch.undo()
+
+        man = spark.read.parquet(f"{out}/manifest")
+        committed = {r["partition_value"] for r in man.collect()}
+        assert len(committed) == 2  # exactly the first batch
+
+        rerun = ValidationRun(
+            spark, run.current, run.baseline, run.sources_dim, out,
+            run_id="killrun02",
+            settings=ValidationSettings(
+                run_token_histogram=False, partition_batch_size=2
+            ),
+        )
+        report = rerun.run()
+        assert sorted(report.skipped_partitions) == sorted(committed)
+        assert set(report.partitions).isdisjoint(committed)
+
+        # totals equal an uninterrupted run
+        clean_run, clean_out, _ = self._mk(spark, tmp_path / "clean", "cleanrun")
+        clean = clean_run.run()
+        assert report.violation_counts == clean.violation_counts
+        man2 = spark.read.parquet(f"{out}/manifest")
+        assert man2.select("partition_value").distinct().count() == 5
+        # no partition committed twice
+        assert (
+            man2.groupBy("partition_value").count().where(F.col("count") > 1).count()
+            == 0
+        )
+
+    def test_resume_uniqueness_spans_completed_partitions(self, spark, tmp_path):
+        # duplicates across two partitions; resume after one partition is
+        # committed must still find the cross-partition duplicate (the global
+        # check scans the FULL table, not just pending partitions)
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": ["dupX", "a1", "dupX", "b1"],
+                "tokens": [[1, 2]] * 4,
+                "n_tok": [2] * 4,
+                "source": ["alpha", "alpha", "beta", "beta"],
+            }
+        )
+        from aumos_drift_detector_spark.sources.synth import TOKEN_SCHEMA
+
+        cur = spark.createDataFrame(pdf, TOKEN_SCHEMA)
+        dim = spark.createDataFrame([("alpha",), ("beta",)], ["source"])
+        out = str(tmp_path / "out")
+        st = ValidationSettings(run_token_histogram=False, partition_batch_size=1)
+
+        run = ValidationRun(spark, cur, cur, dim, out, run_id="xpart", settings=st)
+        # simulate: first batch committed, then killed
+        rows: list = []
+        run._run_batch(["alpha"], True, rows)
+        # resume processes only 'beta', but uniqueness already committed with
+        # batch 1 over the full table
+        rerun = ValidationRun(spark, cur, cur, dim, out, run_id="xpart", settings=st)
+        report = rerun.run()
+        assert report.skipped_partitions == ["alpha"]
+        assert report.violation_counts["uniqueness"] == 1
+        vio = spark.read.parquet(f"{out}/violations")
+        dup = vio.where(F.col("check_name") == "uniqueness").collect()
+        assert {r["doc_id"] for r in dup} == {"dupX"}
