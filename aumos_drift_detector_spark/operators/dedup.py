@@ -21,6 +21,8 @@ from __future__ import annotations
 import random
 from typing import Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -194,20 +196,46 @@ def ngram_jaccard_pairs(
     text_col: str,
     shingle_size: int = 3,
     threshold: float = 0.5,
+    stop_shingle_cap: int | None = 10_000,
 ) -> DataFrame:
     """EXACT Jaccard over shingle sets for pairs sharing >= 1 shingle.
 
     Posting-list self-join: explode distinct shingles, join on shingle,
     count common shingles per pair, then |A ∪ B| = |A| + |B| − common.
-    Quadratic in posting length for hot shingles — at scale, drop the
-    top-frequency shingles first (stop-shingle filtering), which is the
-    standard prefix-filter compromise; log what was dropped.
+
+    The self-join is quadratic in posting length, so one viral shingle would
+    produce O(n²) pairs. ``stop_shingle_cap`` drops shingles whose posting
+    list exceeds the cap BEFORE the join (standard stop-shingle / prefix
+    filtering); the Jaccard is then exact over the reduced shingle universe
+    (both the intersection AND the set sizes exclude stop shingles — the
+    coherent definition). The number of dropped shingles is computed eagerly
+    and logged — no silent cap. ``stop_shingle_cap=None`` disables the
+    filter (exact over everything, unsafe on adversarial corpora).
     """
+    import logging
+
     shing = df.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_size).alias("sh")
     )
-    sizes = shing.select(id_col, F.size("sh").alias("n_sh"))
     posts = shing.select(id_col, F.explode("sh").alias("shingle"))
+    if stop_shingle_cap is not None:
+        hot = (
+            posts.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_count"))
+            .where(F.col("df_count") > stop_shingle_cap)
+        )
+        n_hot = hot.count()
+        if n_hot:
+            logging.getLogger(__name__).warning(
+                "ngram_jaccard: dropping %d stop-shingles with posting length > %d",
+                n_hot, stop_shingle_cap,
+            )
+            posts = posts.join(
+                F.broadcast(hot.select("shingle")), "shingle", "left_anti"
+            )
+    # sizes from the (possibly filtered) postings: shingles are distinct per
+    # doc, so a count per id equals the reduced-universe set size
+    sizes = posts.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     l, r = posts.alias("l"), posts.alias("r")
     common = (
         l.join(
@@ -317,41 +345,92 @@ def simhash_candidates(
     ).where(F.col("hamming") <= max_hamming)
 
 
+def _embedding_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_tables: int = 16,
+    planes_per_table: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate pairs from banded random-hyperplane LSH (OR of AND-tables).
+
+    Banded OR-construction, exactly like the MinHash banding above: each of
+    ``n_tables`` hash tables holds a ``planes_per_table``-bit sign signature;
+    a pair is a candidate iff it collides in AT LEAST ONE table. Collision
+    probability for cosine similarity s: 1 − (1 − p^r)^b with
+    p = 1 − θ(s)/π, r = planes_per_table, b = n_tables — at the 0.95-cosine
+    target the 16x16 default gives ≈0.96 recall (vs ≈0.18 for a single
+    AND-only 16-plane signature) while near-orthogonal pairs collide at only
+    b·0.5^r ≈ 2.4e-4, keeping candidate volume near the true-pair count.
+
+    Signatures are computed in ONE Arrow-batched pandas UDF (a (batch x dim)
+    @ (dim x b*r) matmul + bit packing) instead of b*r per-plane JVM
+    aggregate-lambdas; the candidate join keys on (table, signature) — a
+    self-equi-join on a high-cardinality key, shuffle-balanced.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    dim_row = df.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        return df.sparkSession.createDataFrame(
+            [], f"id_a string, id_b string"
+        )
+    dim = int(dim_row["d"])
+    n_planes = n_tables * planes_per_table
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(dim, n_planes))
+    weights = (1 << np.arange(planes_per_table, dtype=np.int64))
+
+    @pandas_udf("array<long>")
+    def table_sigs(vecs: pd.Series) -> pd.Series:
+        mat = np.asarray(vecs.tolist(), dtype=np.float64)  # (batch, dim)
+        bits = (mat @ planes) > 0                          # (batch, n_planes)
+        packed = (
+            bits.reshape(len(mat), n_tables, planes_per_table) @ weights
+        )                                                  # (batch, n_tables)
+        return pd.Series(list(packed))
+
+    tagged = df.select(
+        F.col(id_col),
+        F.posexplode(table_sigs(F.col(vec_col).cast("array<double>"))).alias(
+            "table", "sig"
+        ),
+    )
+    l, r = tagged.alias("l"), tagged.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.table") == F.col("r.table"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
-    n_planes: int = 16,
+    n_tables: int = 16,
+    planes_per_table: int = 16,
     seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs via random-hyperplane LSH prefilter.
+    """Embedding-cosine near-dup pairs: banded hyperplane LSH + exact verify.
 
-    Signature = sign bits of <v, r_i> for ``n_planes`` seeded random planes
-    (computed as column expressions over a broadcast literal matrix);
-    candidates share the full signature; exact cosine verifies. Collision
-    probability for cosine similarity s is (1 − θ(s)/π)^n_planes.
+    Candidates from ``_embedding_lsh_candidates`` (OR-construction — see its
+    recall math), then exact cosine over the joined vectors keeps only pairs
+    at or above ``threshold``.
     """
-    import numpy as np
-
-    dim_row = df.select(F.size(vec_col).alias("d")).first()
-    if dim_row is None:
-        return df.sparkSession.createDataFrame([], "id_a string, id_b string, cosine double")
-    dim = dim_row["d"]
-    rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(n_planes, dim))
-
-    # build signature with zip_with against literal arrays
-    sig = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        sig = sig + F.when(dot > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0))
-
+    cands = _embedding_lsh_candidates(
+        df, id_col, vec_col, n_tables, planes_per_table, seed
+    )
     norm = F.sqrt(
         F.aggregate(
             F.col(vec_col),
@@ -359,23 +438,23 @@ def embedding_near_duplicates(
             lambda acc, x: acc + x.cast("double") * x.cast("double"),
         )
     )
-    tagged = df.select(
-        F.col(id_col), F.col(vec_col), sig.alias("sig"), norm.alias("norm")
+    vecs = df.select(F.col(id_col), F.col(vec_col), norm.alias("norm"))
+    va = vecs.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_v_a"),
+        F.col("norm").alias("_n_a"),
     )
-    l, r = tagged.alias("l"), tagged.alias("r")
-    pairs = l.join(
-        r,
-        (F.col("l.sig") == F.col("r.sig")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    vb = vecs.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_v_b"),
+        F.col("norm").alias("_n_b"),
     )
+    joined = cands.join(va, "id_a").join(vb, "id_b")
     dot = F.aggregate(
-        F.zip_with(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"),
+        F.zip_with(F.col("_v_a"), F.col("_v_b"),
                    lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    cos = dot / (F.col("l.norm") * F.col("r.norm"))
-    return pairs.select(
-        F.col(f"l.{id_col}").alias("id_a"),
-        F.col(f"r.{id_col}").alias("id_b"),
-        cos.cast("double").alias("cosine"),
+    cos = dot / (F.col("_n_a") * F.col("_n_b"))
+    return joined.select(
+        "id_a", "id_b", cos.cast("double").alias("cosine")
     ).where(F.col("cosine") >= threshold)

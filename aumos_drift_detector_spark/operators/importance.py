@@ -57,36 +57,49 @@ def lime_weights(
     ref_stats = stats(ref_df)
     prod_stats = stats(prod_df)
 
+    # ONE sampling pass for every feature (previously one collect job per
+    # feature, serialized — N features meant N Spark jobs). Per feature the
+    # projection keeps the value only when its seeded hash bucket samples it;
+    # rows where no feature sampled are filtered out, so the collect is
+    # ~features x 20*neighbourhood floats.
+    # Hash-based sampling stays deterministic BY VALUE regardless of
+    # partitioning/row order (df.sample isn't reproducible across re-uploads
+    # of local data); sorted pool -> stable rng.choice. (Reference draws from
+    # the full array with rng(42); the seeded distributed sample plays the
+    # same statistical role — documented deviation since a full collect is
+    # not scale-safe.)
+    sample_cols = []
+    sampled_features = []
+    for c in columns:
+        p_n = prod_stats[c][2] or 0
+        if p_n < 2:
+            continue
+        sampled_features.append(c)
+        v = F.col(c).cast("double")
+        finite = v.isNotNull() & ~F.isnan(v) & (F.abs(v) != float("inf"))
+        frac = min(1.0, (neighbourhood_size * 20) / max(p_n, 1))
+        bucket = F.pmod(F.xxhash64(v, F.lit(seed)), F.lit(10_000))
+        sample_cols.append(
+            F.when(finite & (bucket < int(frac * 10_000)), v).alias(c)
+        )
+    pools: dict[str, np.ndarray] = {c: np.array([]) for c in columns}
+    if sampled_features:
+        keep_any = sample_cols[0].isNotNull()
+        for sc in sample_cols[1:]:
+            keep_any = keep_any | sc.isNotNull()
+        pdf = prod_df.select(*sample_cols).where(keep_any).toPandas()
+        for c in sampled_features:
+            pools[c] = np.sort(pdf[c].dropna().to_numpy(dtype=np.float64))
+
     weights: dict[str, float] = {}
     for c in columns:
         r_mean, _, r_n = ref_stats[c]
         p_mean, p_std, p_n = prod_stats[c]
-        if (r_n or 0) < 2 or (p_n or 0) < 2:
+        pool = pools[c]
+        if (r_n or 0) < 2 or (p_n or 0) < 2 or pool.size < 2:
             weights[c] = 0.0
             continue
         p_std = float(p_std) or 1.0
-        # seeded neighbourhood: deterministic driver-side draw from a
-        # collected bounded sample (reference draws from the full array with
-        # rng(42); we draw from a seeded distributed sample — same statistical
-        # role, documented deviation since full collect is not scale-safe)
-        clean = clean_values(prod_df, c)
-        n_total = p_n
-        frac = min(1.0, (neighbourhood_size * 20) / max(n_total, 1))
-        # hash-based sampling: deterministic BY VALUE regardless of
-        # partitioning/row order (df.sample isn't reproducible across
-        # re-uploads of local data); sorted pool -> stable rng.choice
-        bucket = F.pmod(F.xxhash64(F.col("v"), F.lit(seed)), F.lit(10_000))
-        pool = np.sort(
-            np.array(
-                [
-                    r["v"]
-                    for r in clean.where(bucket < int(frac * 10_000)).collect()
-                ]
-            )
-        )
-        if pool.size < 2:
-            weights[c] = 0.0
-            continue
         rng = np.random.default_rng(seed)
         k = min(neighbourhood_size, pool.size)
         neighbourhood = rng.choice(pool, size=k, replace=False)

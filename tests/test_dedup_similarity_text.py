@@ -113,10 +113,49 @@ class TestEmbeddingNearDup:
         ]
         df = spark.createDataFrame(rows, ["vec_id", "embedding"])
         pairs = dedup.embedding_near_duplicates(
-            df, "vec_id", "embedding", threshold=0.99, n_planes=8
+            df, "vec_id", "embedding", threshold=0.99
         ).toPandas()
         keys = {(r.id_a, r.id_b) for r in pairs.itertuples()}
         assert ("v1", "v2") in keys
+
+    def test_banded_lsh_recall_and_candidate_volume(self, spark):
+        # VERDICT round-1 done-criterion: planted pairs at cosine >= 0.95 must
+        # be recovered with recall >= 0.9 at <= 2x candidate volume
+        rng = np.random.default_rng(7)
+        dim, n_background, n_planted = 32, 200, 30
+        rows = []
+        for i in range(n_background):
+            v = rng.normal(size=dim)
+            rows.append((f"bg{i:03d}", (v / np.linalg.norm(v)).tolist()))
+        planted = []
+        for i in range(n_planted):
+            v = rng.normal(size=dim)
+            v /= np.linalg.norm(v)
+            # small angular perturbation keeps cosine >= ~0.97
+            w = v + rng.normal(scale=0.05, size=dim)
+            w /= np.linalg.norm(w)
+            if float(v @ w) < 0.95:
+                w = v + 0.1 * (w - v)
+                w /= np.linalg.norm(w)
+            rows.append((f"pa{i:03d}", v.tolist()))
+            rows.append((f"pb{i:03d}", w.tolist()))
+            planted.append((f"pa{i:03d}", f"pb{i:03d}"))
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+        cands = dedup._embedding_lsh_candidates(df, "vec_id", "embedding").toPandas()
+        cand_keys = {tuple(sorted((r.id_a, r.id_b))) for r in cands.itertuples()}
+        found = sum(1 for p in planted if tuple(sorted(p)) in cand_keys)
+        assert found >= 0.9 * n_planted
+        # random 32-dim background vectors almost never collide on all 8
+        # planes of a table -> candidate volume stays near the planted count
+        assert len(cand_keys) <= 2 * n_planted
+
+        pairs = dedup.embedding_near_duplicates(
+            df, "vec_id", "embedding", threshold=0.95
+        ).toPandas()
+        verified = {tuple(sorted((r.id_a, r.id_b))) for r in pairs.itertuples()}
+        assert sum(1 for p in planted if tuple(sorted(p)) in verified) >= 0.9 * n_planted
+        assert (pairs["cosine"] >= 0.95).all()
 
 
 class TestSimilarity:
@@ -217,3 +256,38 @@ class TestMultimodal:
         frames = multimodal.frame_sample_plan(media, every_n=100).toPandas()
         vids = media.where(F.col("kind") == "video").count()
         assert len(frames) == vids * 3  # frames 0,100,200 of 300
+
+
+class TestStopShingleFilter:
+    def test_benign_data_identical_pairs(self, spark, docs_df):
+        # cap far above any posting length -> identical output to unfiltered
+        with_cap = dedup.ngram_jaccard_pairs(
+            docs_df, "doc_id", "text", 3, 0.1, stop_shingle_cap=10_000
+        ).toPandas()
+        no_cap = dedup.ngram_jaccard_pairs(
+            docs_df, "doc_id", "text", 3, 0.1, stop_shingle_cap=None
+        ).toPandas()
+        key = lambda p: sorted(map(tuple, p[["id_a", "id_b", "jaccard"]].to_numpy()))
+        assert key(with_cap) == key(no_cap)
+
+    def test_hot_shingle_bounded_pairs(self, spark):
+        # 100 docs all sharing one viral shingle + unique content: without the
+        # filter every pair is a candidate (4950 join rows); with it, no pairs
+        import pandas as pd
+
+        viral = "breaking news today everyone"
+        rows = [
+            (f"d{i:03d}", f"{viral} unique filler text number{i} alpha{i} beta{i}")
+            for i in range(100)
+        ]
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+        out = dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", 3, 0.0, stop_shingle_cap=50
+        ).toPandas()
+        # viral shingles dropped -> docs share nothing -> no candidate pairs
+        assert len(out) == 0
+        # sanity: without the cap the join would produce all 4950 pairs
+        unfiltered = dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", 3, 0.0, stop_shingle_cap=None
+        )
+        assert unfiltered.count() == 4950
