@@ -453,6 +453,162 @@ def _q_forecast_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linear_forecast(daily, ["event_type"], "day", "v", horizon=3)
 
 
+def _cbpe_probe(spark: SparkSession, sf_dir: str):
+    """Deterministic binary classifier output derived from embeddings.
+
+    p1 = sigmoid(embedding[0]); probs = [1-p1, p1]; label collapses to
+    binary via mod 2 — reproducible on the DuckDB side with list arithmetic.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    p1 = 1.0 / (1.0 + F.exp(-F.element_at(F.col("embedding"), 1).cast("double")))
+    return emb.select(
+        F.col("vec_id"),
+        F.array(F.lit(1.0) - p1, p1).alias("probabilities"),
+        (F.col("label") % 2).alias("label"),
+    )
+
+
+def _q_cbpe_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CBPE's distributed step: the (confidence, n_correct, n) sketch that
+    feeds calibration — fully SQL-oracle-checkable (the PAV/Platt fit on the
+    sketch is driver-side and pytest-covered)."""
+    from aumos_drift_detector_spark.operators.estimation import _confidence_correct
+
+    probe = _cbpe_probe(spark, sf_dir)
+    return (
+        _confidence_correct(probe, "probabilities", "label")
+        .groupBy("conf")
+        .agg(F.sum("correct").alias("n_correct"), F.count(F.lit(1)).alias("n"))
+        .select(F.round("conf", 6).alias("conf"), "n_correct", "n")
+    )
+
+
+def _q_cbpe_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CBPE (fit on even vec_ids, estimate odd) — rows-only (isotonic
+    PAV + seeded bootstrap are not SQL-expressible); deterministic."""
+    from aumos_drift_detector_spark.operators.estimation import CBPEEstimator
+
+    probe = _cbpe_probe(spark, sf_dir)
+    ref = probe.where(F.col("vec_id") % 2 == 0)
+    prod = probe.where(F.col("vec_id") % 2 == 1)
+    out = CBPEEstimator(metric="accuracy").fit(ref).estimate(prod)
+    return spark.createDataFrame(
+        [
+            (
+                out["metric"],
+                round(out["estimated_value"], 6),
+                round(out["confidence_interval_95"]["lower"], 6),
+                round(out["confidence_interval_95"]["upper"], 6),
+                out["n_samples"],
+            )
+        ],
+        "metric string, estimated_value double, ci_lower double, ci_upper double, n_samples long",
+    )
+
+
+def _q_dle_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLE estimated loss (GBT error predictor) — rows-only (seeded
+    distributed GBT is engine-specific)."""
+    from aumos_drift_detector_spark.operators.estimation import DLEEstimator
+
+    emb = _t(spark, sf_dir, "embeddings")
+    p1 = 1.0 / (1.0 + F.exp(-F.element_at(F.col("embedding"), 1).cast("double")))
+    probe = emb.select(
+        F.col("vec_id"),
+        F.col("embedding").cast("array<double>").alias("features"),
+        F.array(F.lit(1.0) - p1, p1).alias("probabilities"),
+        (F.col("label") % 2).alias("label"),
+    )
+    ref = probe.where(F.col("vec_id") % 2 == 0)
+    prod = probe.where(F.col("vec_id") % 2 == 1)
+    out = DLEEstimator(n_estimators=10).fit(ref).estimate(prod)
+    return spark.createDataFrame(
+        [
+            (
+                out["loss_function"],
+                round(out["estimated_loss"], 6),
+                round(out["loss_std"], 6),
+                out["n_samples"],
+            )
+        ],
+        "loss_function string, estimated_loss double, loss_std double, n_samples long",
+    )
+
+
+def _q_retrain_triggers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrain-trigger decisions over per-event_type drift scores — full
+    SQL oracle (threshold direction + outcome mapping are relational)."""
+    from datetime import datetime, timezone
+
+    from aumos_drift_detector_spark.operators.triggers import (
+        RetrainTriggerEngine,
+        TriggerPolicy,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    detections = ev.groupBy("event_type").agg(
+        (F.avg("value") / 10.0).alias("drift_score")
+    ).select(
+        F.lit("t0").alias("tenant_id"),
+        F.lit("mon0").alias("monitor_id"),
+        F.col("event_type").alias("model_id"),
+        F.col("event_type").alias("detection_id"),
+        F.round("drift_score", 6).alias("drift_score"),
+        F.when(F.col("event_type") == "error", "ks").otherwise("psi").alias(
+            "test_name"
+        ),
+        F.lit(datetime(2026, 1, 1, tzinfo=timezone.utc)).alias("detected_at"),
+    )
+    eng = RetrainTriggerEngine(TriggerPolicy(drift_score_threshold=0.25))
+    out = eng.evaluate_drift_triggers(
+        detections, now=datetime(2026, 1, 1, tzinfo=timezone.utc)
+    )
+    return out.select(
+        "model_id", "outcome", "triggered",
+        F.round("drift_score", 6).alias("drift_score"), "test_name",
+    ).orderBy("model_id")
+
+
+def _q_alert_escalation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdue-warning escalation over alerts derived from events — full
+    SQL oracle (filter + rewrite columns)."""
+    from aumos_drift_detector_spark.operators.alerts import escalate_overdue_alerts
+
+    ev = _t(spark, sf_dir, "events")
+    alerts_df = ev.select(
+        F.col("event_id").alias("alert_id"),
+        F.when(F.col("event_type") == "purchase", "acknowledged")
+        .otherwise("dispatched")
+        .alias("status"),
+        F.when(F.col("value") > 10.0, "warning").otherwise("info").alias("severity"),
+        F.col("event_type").alias("message"),
+        F.col("ts").alias("detected_at"),
+    )
+    out = escalate_overdue_alerts(
+        alerts_df, escalation_timeout_minutes=120, now_ts="2030-01-01 00:00:00"
+    )
+    return out.select("alert_id", "status", "severity", "message").orderBy("alert_id")
+
+
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded hyperplane LSH near-dup pairs — rows-only (plane constants are
+    engine-specific; recall/precision parity is pytest-covered). Planted
+    exact duplicates (vec_id+10^7 copies of the first 20 vectors) guarantee
+    a non-trivial result set."""
+    from aumos_drift_detector_spark.operators.dedup import embedding_near_duplicates
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    both = emb.unionByName(planted)
+    return (
+        embedding_near_duplicates(both, "vec_id", "embedding", threshold=0.95)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_customer": _q_profile_customer,          # A1/A6
@@ -484,6 +640,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,                # dedup (rows-only)
         "cusum_events": _q_cusum_events,                  # W6 (rows-only)
         "forecast_events": _q_forecast_events,            # W8 (rows-only)
+        "cbpe_sketch": _q_cbpe_sketch,                    # CBPE distributed step
+        "cbpe_estimate": _q_cbpe_estimate,                # CBPE (rows-only)
+        "dle_loss": _q_dle_loss,                          # DLE (rows-only)
+        "retrain_triggers": _q_retrain_triggers,          # trigger engine
+        "alert_escalation": _q_alert_escalation,          # alert escalation
+        "embedding_neardup": _q_embedding_neardup,        # LSH (rows-only)
     }
 
 
@@ -797,8 +959,51 @@ SELECT (SELECT round(avg(CASE WHEN t = p THEN 1.0 ELSE 0.0 END), 6) FROM preds) 
 FROM percls
 """,
         "chi2_orderpriority": _CHI2_SQL,
-        # adwin_events, mmd_embeddings: rows-only (sequential state machines /
-        # kernel matrices are not SQL-expressible)
+        "cbpe_sketch": """
+WITH probe AS (
+  SELECT 1.0 / (1.0 + exp(-CAST(embedding[1] AS DOUBLE))) AS p1,
+         label % 2 AS label
+  FROM embeddings),
+cc AS (
+  SELECT round(greatest(p1, 1.0 - p1), 6) AS conf,
+         CASE WHEN (CASE WHEN p1 > 1.0 - p1 THEN 1 ELSE 0 END) = label
+              THEN 1 ELSE 0 END AS correct
+  FROM probe)
+SELECT conf, sum(correct)::BIGINT AS n_correct, count(*)::BIGINT AS n
+FROM cc GROUP BY conf
+""",
+        "retrain_triggers": """
+WITH det AS (
+  SELECT event_type AS model_id,
+         round(avg(value) / 10.0, 6) AS drift_score,
+         CASE WHEN event_type = 'error' THEN 'ks' ELSE 'psi' END AS test_name
+  FROM events GROUP BY event_type),
+ev AS (
+  SELECT *, CASE WHEN test_name = 'ks' THEN drift_score < 0.25
+                 ELSE drift_score > 0.25 END AS crossed
+  FROM det)
+SELECT model_id,
+       CASE WHEN crossed THEN 'triggered' ELSE 'suppressed_threshold' END AS outcome,
+       crossed AS triggered,
+       drift_score, test_name
+FROM ev ORDER BY model_id
+""",
+        "alert_escalation": """
+SELECT event_id AS alert_id,
+       'escalated' AS status,
+       'critical' AS severity,
+       '[ESCALATED] ' || event_type AS message
+FROM events
+WHERE event_type != 'purchase'
+  AND value > 10.0
+  AND ts IS NOT NULL
+  AND date_diff('second', ts, TIMESTAMP '2030-01-01 00:00:00') >= 7200
+ORDER BY event_id
+""",
+        # adwin_events, mmd_embeddings, minhash_pairs, cusum_events,
+        # forecast_events, cbpe_estimate, dle_loss, embedding_neardup:
+        # rows-only (sequential state machines, kernel matrices, seeded
+        # GBT/bootstrap, engine-specific hash constants)
     }
 
 
