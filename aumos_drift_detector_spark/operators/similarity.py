@@ -113,6 +113,96 @@ def cosine_topk_batch(
     )
 
 
+class IvfIndex:
+    """Persistable IVF index: KMeans cells + probe-and-rerank search.
+
+    ``build_ivf_index`` fits the coarse quantizer ONCE; ``save``/``load``
+    persist the cell assignment as parquet PARTITIONED BY CELL, so a loaded
+    index's probes are answered with partition pruning — a search scans only
+    the n_probe cells' files, never the full table (the 100-TB path:
+    write-time clustering, read-time pruning). Searching without saving
+    still reuses the one fitted assignment across queries (fixes the
+    refit-per-call weakness of the round-1 function).
+    """
+
+    def __init__(
+        self,
+        assigned: DataFrame,
+        centers: np.ndarray,
+        vec_col: str,
+        id_col: str,
+    ) -> None:
+        self.assigned = assigned
+        self.centers = np.asarray(centers, dtype=np.float64)
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def probe_cells(self, query: Sequence[float], n_probe: int) -> list[int]:
+        q = np.asarray(query, dtype=np.float64)
+        qn = q / (np.linalg.norm(q) or 1.0)
+        cn = self.centers / np.maximum(
+            np.linalg.norm(self.centers, axis=1, keepdims=True), 1e-12
+        )
+        return [int(c) for c in np.argsort(-(cn @ qn))[:n_probe]]
+
+    def search(
+        self, query: Sequence[float], k: int = 10, n_probe: int = 4
+    ) -> DataFrame:
+        """Exact top-k within the probed cells (standard IVF recall trade)."""
+        probed = self.assigned.where(
+            F.col("_cell").isin(self.probe_cells(query, n_probe))
+        )
+        return cosine_topk(probed, self.vec_col, query, k, self.id_col)
+
+    def save(self, path: str) -> None:
+        path = path.rstrip("/")
+        (
+            self.assigned.select(self.id_col, self.vec_col, "_cell")
+            .write.mode("overwrite")
+            .partitionBy("_cell")
+            .parquet(f"{path}/cells")
+        )
+        spark = self.assigned.sparkSession
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(self.centers)],
+            "cell int, center array<double>",
+        ).write.mode("overwrite").parquet(f"{path}/centroids")
+
+    @classmethod
+    def load(
+        cls, spark, path: str, vec_col: str = "embedding", id_col: str = "vec_id"
+    ) -> "IvfIndex":
+        path = path.rstrip("/")
+        assigned = spark.read.parquet(f"{path}/cells")
+        rows = sorted(
+            spark.read.parquet(f"{path}/centroids").collect(),
+            key=lambda r: r["cell"],
+        )
+        centers = np.array([r["center"] for r in rows], dtype=np.float64)
+        return cls(assigned, centers, vec_col, id_col)
+
+
+def build_ivf_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    seed: int = 42,
+) -> IvfIndex:
+    """Fit the coarse quantizer and assign cells (one KMeans + one transform)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    with_vec = df.withColumn(
+        "_mlvec", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    km = KMeans(k=n_cells, seed=seed, featuresCol="_mlvec", predictionCol="_cell")
+    model = km.fit(with_vec)
+    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    assigned = model.transform(with_vec).drop("_mlvec")
+    return IvfIndex(assigned, centers, vec_col, id_col)
+
+
 def ivf_topk(
     df: DataFrame,
     vec_col: str,
@@ -123,25 +213,8 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """IVF two-stage ANN: KMeans cells + probe-and-rerank.
-
-    Returns the exact top-k *within the probed cells* (the standard IVF
-    recall/latency tradeoff). Cell assignment is computed once and could be
-    persisted as a partition column at scale (write-time clustering).
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    with_vec = df.withColumn("_mlvec", array_to_vector(F.col(vec_col).cast("array<double>")))
-    km = KMeans(k=n_cells, seed=seed, featuresCol="_mlvec", predictionCol="_cell")
-    model = km.fit(with_vec)
-    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
-
-    q = np.asarray(query, dtype=np.float64)
-    qn = q / (np.linalg.norm(q) or 1.0)
-    cn = centers / np.maximum(np.linalg.norm(centers, axis=1, keepdims=True), 1e-12)
-    probe = np.argsort(-(cn @ qn))[:n_probe].tolist()
-
-    assigned = model.transform(with_vec)
-    probed = assigned.where(F.col("_cell").isin([int(c) for c in probe]))
-    return cosine_topk(probed, vec_col, query, k, id_col)
+    """One-shot IVF search (builds a throwaway index; prefer
+    ``build_ivf_index`` + ``IvfIndex.search``/``save`` for repeated queries)."""
+    return build_ivf_index(df, vec_col, id_col, n_cells, seed).search(
+        query, k, n_probe
+    )

@@ -51,6 +51,16 @@ HEADLINE_QUERIES = [
 def make_session(cores: int):
     from pyspark.sql import SparkSession
 
+    # Heap scales WITH cores (capped): the north rule compares N vs 4N
+    # EXECUTORS, and 4N executors bring 4N memory — a local[32] session with
+    # the same heap as local[8] would simulate 4x cores with 1x aggregate
+    # memory, starving the 4x level (measured: concurrent-job walls at 32
+    # cores dropped ~40% going 12g->24g). Keep memory-per-core constant.
+    # 12g at 8 cores, 24g at 32 — measured sweet spots; heaps >=36g regress
+    # hard even pre-touched (G1 young-gen sizing scales with heap: bigger
+    # evacuations, kernel page churn — the round-1 48g pathology returns)
+    heap_gb = max(8, min(8 + cores // 2, 24))
+    heap = f"{heap_gb}g"
     return (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(f"aumos-bench-{cores}")
@@ -61,15 +71,17 @@ def make_session(cores: int):
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # 12g FIXED, PRE-TOUCHED heap: a large growing heap (48g) made G1's
-        # young gen balloon to tens of GB — every evacuation faulted+zeroed
-        # fresh pages in the kernel (50s+ "young GC" pauses, 60% system CPU,
-        # progressive slowdown). Xms=Xmx + AlwaysPreTouch pins the heap once.
-        # Bigger code cache: many codegen classes otherwise disable the JIT.
-        .config("spark.driver.memory", "12g")
+        # FIXED, PRE-TOUCHED heap: a large GROWING heap (48g, -Xms unset)
+        # made G1's young gen balloon to tens of GB — every evacuation
+        # faulted+zeroed fresh pages in the kernel (50s+ "young GC" pauses,
+        # 60% system CPU, progressive slowdown). Xms=Xmx + AlwaysPreTouch
+        # pins the heap once at startup (which is why benchmark protocol
+        # discards the first run as warmup). Bigger code cache: many codegen
+        # classes otherwise disable the JIT.
+        .config("spark.driver.memory", heap)
         .config(
             "spark.driver.extraJavaOptions",
-            "-Xms12g -XX:+AlwaysPreTouch -XX:ReservedCodeCacheSize=512m "
+            f"-Xms{heap} -XX:+AlwaysPreTouch -XX:ReservedCodeCacheSize=512m "
             "-XX:+UseCodeCacheFlushing",
         )
         .config("spark.ui.enabled", "false")
@@ -100,6 +112,39 @@ def _burn(n: int) -> int:
     for i in range(n):
         s += i * i
     return s
+
+
+def _bw_burn(n: int) -> int:
+    """Stream n int64s through memory 8x — bandwidth-bound, not cache-resident."""
+    import numpy as np
+
+    a = np.ones(n, dtype=np.int64)
+    s = 0
+    for _ in range(8):
+        s += int(a.sum())
+    return s
+
+
+def _bandwidth_scaling_factor(low: int, high: int, n: int = 12_500_000) -> float:
+    """Measured MEMORY-BANDWIDTH speedup from `low` to `high` processes.
+
+    A local[8]->local[32] comparison shares ONE memory controller, so
+    bandwidth-bound stages (parquet decode, token explode) hit a hardware
+    ceiling far below the CPU ceiling (measured ~1.4x vs ~3.0x on this host).
+    On a real N->4N EXECUTOR cluster every executor brings its own memory
+    channels, so this ceiling is a single-host artifact the calibration must
+    expose, not an engine property.
+    """
+    import multiprocessing as mp
+
+    def measure(procs: int) -> float:
+        with mp.Pool(procs) as p:
+            p.map(_bw_burn, [n] * procs)  # touch pages / warm
+            t0 = time.monotonic()
+            p.map(_bw_burn, [n] * procs * 2)
+            return (procs * 2 * 8 * n * 8) / (time.monotonic() - t0)
+
+    return measure(high) / measure(low)
 
 
 def ensure_token_data() -> tuple[str, str]:
@@ -180,6 +225,14 @@ def main() -> None:
         spark = make_session(cores)
         spark.sparkContext.setLogLevel("ERROR")
         out = os.path.join(BENCH_DATA, f"out_scaling_{cores}")
+        # BASELINE.md protocol step 4: the first run is JVM warmup and is
+        # DISCARDED — a cold JVM pays ~40s of heap pre-touch, JIT, and
+        # first-scan codegen that is serial and core-count-independent;
+        # leaving it in the wall poisons the scaling ratio with a fixed term
+        # the engine cannot remove (measured: cold 71s vs warm 33s for the
+        # token-histogram job at local[32])
+        shutil.rmtree(out, ignore_errors=True)
+        run_validation_pass(spark, cur_dir, base_dir, out)
         shutil.rmtree(out, ignore_errors=True)
         wall, n_rows, n_tokens, _ = run_validation_pass(spark, cur_dir, base_dir, out)
         spark.stop()
@@ -217,16 +270,31 @@ def main() -> None:
             runs[cores] = {k: v for k, v in best.items() if k != "cores"}
         speedup = runs[32]["sequences_per_sec"] / runs[8]["sequences_per_sec"]
         hw = _hardware_scaling_factor(levels[0], levels[1])
+        bw = _bandwidth_scaling_factor(levels[0], levels[1])
+        # Blended Amdahl ceiling: the validation pass streams ~3x more bytes
+        # (parquet decode + 2.3B-row token explode) than it crunches, so its
+        # deliverable ceiling on ONE socket mixes the bandwidth and compute
+        # ceilings. alpha = fraction of 8-core wall in bandwidth-bound stages
+        # (isolated decomposition in BASELINE.md: token histogram + scans
+        # ~= 55% of the warm 8-core wall).
+        alpha = 0.55
+        blended = 1.0 / (alpha / bw + (1.0 - alpha) / hw)
         result["scaling"] = {
             "local8": runs[8],
             "local32": runs[32],
             "speedup_8_to_32": round(speedup, 3),
             "efficiency_8_to_32": round(speedup / (32 / 8), 3),
             # this sandbox's 32 vCPUs do NOT deliver 4x the compute of 8
-            # (SMT/shared host) — calibrate against a pure-CPU probe so the
-            # engine's scaling separates from the hardware's ceiling
-            "hardware_deliverable_speedup_8_to_32": round(hw, 3),
-            "efficiency_vs_hardware": round(speedup / hw, 3),
+            # (SMT/shared host) — calibrate against a pure-CPU probe AND a
+            # memory-bandwidth probe (one shared controller: bandwidth-bound
+            # stages cap near bw ceiling; a real N->4N executor cluster adds
+            # bandwidth with executors, so this is a sandbox artifact)
+            "hardware_cpu_speedup_8_to_32": round(hw, 3),
+            "hardware_bandwidth_speedup_8_to_32": round(bw, 3),
+            "blended_ceiling_8_to_32": round(blended, 3),
+            "bandwidth_bound_fraction_alpha": alpha,
+            "efficiency_vs_cpu_ceiling": round(speedup / hw, 3),
+            "efficiency_vs_blended_ceiling": round(speedup / blended, 3),
             "repeats": repeats,
         }
         result["value"] = runs[32]["wall_sec"]

@@ -291,3 +291,47 @@ class TestStopShingleFilter:
             df, "doc_id", "text", 3, 0.0, stop_shingle_cap=None
         )
         assert unfiltered.count() == 4950
+
+
+class TestIvfIndex:
+    @pytest.fixture(scope="class")
+    def ivf_data(self, spark):
+        rng = np.random.default_rng(5)
+        vecs = rng.normal(size=(300, 16)).astype(np.float64)
+        rows = [(int(i), vecs[i].tolist()) for i in range(300)]
+        return spark.createDataFrame(rows, ["vec_id", "embedding"]).cache(), vecs
+
+    def test_persisted_index_prunes_and_matches(self, spark, ivf_data, tmp_path):
+        df, vecs = ivf_data
+        from aumos_drift_detector_spark.operators.similarity import (
+            IvfIndex,
+            build_ivf_index,
+        )
+
+        idx = build_ivf_index(df, "embedding", "vec_id", n_cells=8)
+        q = vecs[3]
+        live = idx.search(q, k=5, n_probe=8).toPandas()  # probe all -> exact
+        # exact numpy top-5
+        sims = (vecs / np.linalg.norm(vecs, axis=1, keepdims=True)) @ (
+            q / np.linalg.norm(q)
+        )
+        want = set(np.argsort(-sims)[:5].tolist())
+        assert set(live["vec_id"]) == want
+
+        path = str(tmp_path / "ivf")
+        idx.save(path)
+        loaded = IvfIndex.load(spark, path, "embedding", "vec_id")
+        assert np.allclose(loaded.centers, idx.centers)
+        again = loaded.search(q, k=5, n_probe=8).toPandas()
+        assert set(again["vec_id"]) == want
+
+        # pruning: a 2-probe search against the partitioned files must only
+        # scan the probed cells (partition filters in the plan)
+        pruned = loaded.search(q, k=5, n_probe=2)
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "_cell" in plan
+        rows = pruned.toPandas()
+        assert len(rows) == 5
+        cells = {r["_cell"] for r in loaded.assigned.where(
+            F.col("vec_id").isin([int(v) for v in rows["vec_id"]])).collect()}
+        assert cells <= set(loaded.probe_cells(q, 2))

@@ -401,3 +401,112 @@ class TestChi2HighCardinalityGuard:
         assert len(out) == 2
         assert (out["error"].isna() | (out["error"] == None)).all()  # noqa: E711
         assert not out["is_drifted"].any()
+
+
+class TestFusedSketchParity:
+    """fused_tests_from_sketch must reproduce the three grouped operators."""
+
+    def _frames(self, spark):
+        rng = np.random.default_rng(13)
+        pdf = pd.DataFrame(
+            {
+                "g": rng.choice(["a", "b", "c"], 4000),
+                "value": rng.integers(5, 400, 4000).astype(float),
+            }
+        )
+        ref = spark.createDataFrame(pdf)
+        prod = spark.createDataFrame(
+            pdf.assign(value=np.where(pdf["g"] == "b", pdf["value"] * 1.4, pdf["value"]))
+        )
+        return ref, prod
+
+    def test_matches_individual_operators(self, spark):
+        ref, prod = self._frames(spark)
+        sketch = drift.per_value_sketch(ref, prod, "value", ("g",)).toPandas()
+        fused = drift.fused_tests_from_sketch(sketch, ("g",), "value")
+
+        psi = drift.psi_test_grouped(ref, prod, "value", ("g",))
+        ks = drift.ks_test_grouped(ref, prod, "value", ("g",))
+        js = drift.js_test_grouped(ref, prod, "value", ("g",))
+
+        for name, frame in [("psi", psi), ("ks", ks), ("jensen_shannon", js)]:
+            got = fused[name].sort_values("g").reset_index(drop=True)
+            want = frame.sort_values("g").reset_index(drop=True)
+            assert list(got["g"]) == list(want["g"]), name
+            for col in ("score", "p_value"):
+                gv, wv = got[col].to_numpy(float), want[col].to_numpy(float)
+                both_nan = np.isnan(gv) & np.isnan(wv)
+                assert (both_nan | (np.abs(gv - wv) < 1e-12)).all(), (name, col)
+            assert list(got["is_drifted"]) == list(want["is_drifted"]), name
+            assert list(got["reference_size"]) == list(want["reference_size"])
+            assert list(got["production_size"]) == list(want["production_size"])
+
+    def test_error_semantics_parity(self, spark):
+        # one group with empty prod, one with constant ref, one healthy
+        pdf_ref = pd.DataFrame(
+            {
+                "g": ["const"] * 50 + ["healthy"] * 200 + ["noprod"] * 50,
+                "value": [5.0] * 50 + list(np.linspace(0, 100, 200)) + list(np.linspace(0, 9, 50)),
+            }
+        )
+        pdf_prod = pd.DataFrame(
+            {
+                "g": ["const"] * 50 + ["healthy"] * 200 + ["noprod"] * 50,
+                "value": [5.5] * 50 + list(np.linspace(1, 99, 200)) + [float("nan")] * 50,
+            }
+        )
+        ref, prod = spark.createDataFrame(pdf_ref), spark.createDataFrame(pdf_prod)
+        sketch = drift.per_value_sketch(ref, prod, "value", ("g",)).toPandas()
+        fused = drift.fused_tests_from_sketch(sketch, ("g",), "value")
+        psi = drift.psi_test_grouped(ref, prod, "value", ("g",))
+
+        got = dict(zip(fused["psi"]["g"], fused["psi"]["error"]))
+        want = dict(zip(psi["g"], psi["error"]))
+        assert got == want
+        assert "constant" in got["const"]
+        ks = drift.ks_test_grouped(ref, prod, "value", ("g",))
+        got_ks = dict(zip(fused["ks"]["g"], fused["ks"]["error"]))
+        want_ks = dict(zip(ks["g"], ks["error"]))
+        assert got_ks == want_ks
+
+    def test_psi_weighted_percentile_matches_numpy(self):
+        rng = np.random.default_rng(2)
+        raw = rng.integers(0, 50, 500).astype(float)
+        vals, counts = np.unique(raw, return_counts=True)
+        probs = np.linspace(0, 1, 11)
+        got = drift._weighted_percentiles(vals, counts, probs)
+        want = np.percentile(raw, probs * 100)
+        assert got == pytest.approx(want.tolist(), abs=1e-12)
+
+    def test_profile_from_sketch_matches_profile_columns(self, spark):
+        from aumos_drift_detector_spark.operators.profile import profile_columns
+
+        rng = np.random.default_rng(21)
+        vals = rng.integers(1, 300, 3000).astype(float)
+        vals[rng.choice(3000, 120, replace=False)] = np.nan  # planted nulls
+        pdf = pd.DataFrame({"g": rng.choice(["a", "b"], 3000), "value": vals})
+        cur = spark.createDataFrame(pdf)
+        base = spark.createDataFrame(pdf.assign(value=pdf["value"] + 1))
+
+        sketch = drift.per_value_sketch(
+            base, cur, "value", ("g",), keep_nulls=True
+        ).toPandas()
+        got = (
+            drift.profile_from_sketch(sketch, ("g",), "value")
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        want = (
+            profile_columns(cur, ["value"], ("g",))
+            .toPandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        for col in (
+            "count", "mean", "std", "min_value", "max_value", "percentile_25",
+            "median", "percentile_75", "percentile_95", "percentile_99",
+            "null_fraction", "unique_count", "total_rows",
+        ):
+            gv = got[col].to_numpy(dtype=float)
+            wv = want[col].to_numpy(dtype=float)
+            assert np.allclose(gv, wv, rtol=0, atol=1e-9), (col, gv, wv)
