@@ -609,6 +609,75 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7: two-sample midrank Anderson-Darling A2akN statistic — the
+    distributed part is SQL-oracle-checkable (the significance interpolation,
+    like chi2's p-value, is driver-side scalar math covered by pytest)."""
+    from aumos_drift_detector_spark.operators.drift import anderson_darling_test
+
+    ref, prod = _split_lineitem(spark, sf_dir)
+    v = anderson_darling_test(ref, prod, "l_extendedprice")
+    return spark.createDataFrame(
+        [
+            (
+                round(float(v.details["statistic"]), 6),
+                int(v.reference_size),
+                int(v.production_size),
+            )
+        ],
+        "statistic double, n_ref long, n_prod long",
+    )
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate pairs — rows-only (64-bit signatures use
+    engine-specific xxhash64; hamming semantics are pytest-covered)."""
+    from aumos_drift_detector_spark.operators.dedup import (
+        simhash_candidates,
+        simhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    sigs = simhash_signatures(docs, "doc_id", "text")
+    return simhash_candidates(sigs, "doc_id", max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _q_multivariate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9+T10: PCA-reconstruction drift + C2ST over the embeddings table —
+    rows-only (iterative SVD/GBT are not SQL-expressible)."""
+    from aumos_drift_detector_spark.operators.multivariate import (
+        classifier_two_sample_test,
+        pca_reconstruction_drift,
+    )
+
+    dims = 8
+    cols = [
+        F.element_at(F.col("embedding"), i + 1).cast("double").alias(f"e{i}")
+        for i in range(dims)
+    ]
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", *cols)
+    feature_cols = [f"e{i}" for i in range(dims)]
+    ref = emb.where(F.col("vec_id") % 2 == 0)
+    prod = emb.where(F.col("vec_id") % 2 == 1)
+    pca = pca_reconstruction_drift(ref, prod, feature_cols, n_components=4)
+    c2st = classifier_two_sample_test(ref, prod, feature_cols)
+    return spark.createDataFrame(
+        [
+            (
+                "pca_reconstruction",
+                round(float(pca.score), 6),
+                bool(pca.is_drifted),
+            ),
+            ("c2st", round(float(c2st.score), 6), bool(c2st.is_drifted)),
+        ],
+        "test string, score double, is_drifted boolean",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_customer": _q_profile_customer,          # A1/A6
@@ -646,6 +715,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrain_triggers": _q_retrain_triggers,          # trigger engine
         "alert_escalation": _q_alert_escalation,          # alert escalation
         "embedding_neardup": _q_embedding_neardup,        # LSH (rows-only)
+        "anderson_darling_extendedprice": _q_anderson_darling,  # T7
+        "simhash_pairs": _q_simhash_pairs,                # dedup (rows-only)
+        "multivariate_drift": _q_multivariate_drift,      # T9/T10 (rows-only)
     }
 
 
@@ -1000,10 +1072,48 @@ WHERE event_type != 'purchase'
   AND date_diff('second', ts, TIMESTAMP '2030-01-01 00:00:00') >= 7200
 ORDER BY event_id
 """,
-        # adwin_events, mmd_embeddings, minhash_pairs, cusum_events,
-        # forecast_events, cbpe_estimate, dle_loss, embedding_neardup:
-        # rows-only (sequential state machines, kernel matrices, seeded
-        # GBT/bootstrap, engine-specific hash constants)
+        "anderson_darling_extendedprice": """
+WITH sides AS (
+  SELECT l_extendedprice AS v, 0 AS side FROM lineitem
+  WHERE l_linestatus = 'F' AND isfinite(l_extendedprice)
+  UNION ALL
+  SELECT l_extendedprice AS v, 1 AS side FROM lineitem
+  WHERE l_linestatus = 'O' AND isfinite(l_extendedprice)),
+pv AS (SELECT v,
+          sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS cr,
+          sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cp
+       FROM sides GROUP BY v),
+tot AS (SELECT sum(cr) AS nr, sum(cp) AS np, sum(cr) + sum(cp) AS nt FROM pv),
+cum AS (SELECT cr, cp, cr + cp AS lj,
+          sum(cr + cp) OVER w - (cr + cp) / 2.0 AS bj,
+          sum(cr) OVER w - cr / 2.0 AS mr,
+          sum(cp) OVER w - cp / 2.0 AS mp
+        FROM pv
+        WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+terms AS (SELECT
+    lj, bj, mr, mp,
+    bj * ((SELECT nt FROM tot) - bj) - (SELECT nt FROM tot) * lj / 4.0 AS denom
+  FROM cum),
+sums AS (SELECT
+    sum(CASE WHEN denom > 0 THEN
+        lj * pow((SELECT nt FROM tot) * mr - (SELECT nr FROM tot) * bj, 2) / denom
+      END) AS s_ref,
+    sum(CASE WHEN denom > 0 THEN
+        lj * pow((SELECT nt FROM tot) * mp - (SELECT np FROM tot) * bj, 2) / denom
+      END) AS s_prod
+  FROM terms)
+SELECT round(((SELECT nt FROM tot) - 1.0) / (SELECT nt FROM tot)
+         * (s_ref / (SELECT nr FROM tot) + s_prod / (SELECT np FROM tot))
+         / (SELECT nt FROM tot), 6) AS statistic,
+       (SELECT nr FROM tot)::BIGINT AS n_ref,
+       (SELECT np FROM tot)::BIGINT AS n_prod
+FROM sums
+""",
+        # adwin_events, mmd_embeddings, minhash_pairs, simhash_pairs,
+        # cusum_events, forecast_events, cbpe_estimate, dle_loss,
+        # embedding_neardup, multivariate_drift: rows-only (sequential state
+        # machines, kernel matrices, seeded GBT/bootstrap/SVD, engine-specific
+        # hash constants)
     }
 
 
