@@ -76,6 +76,71 @@ def gate_alerts(
     ).drop("_last_ts")
 
 
+class AlertRuleSet:
+    """Driver-side alert-rule registry (alert_system.py:219-265 CRUD parity).
+
+    Rules live as plain dicts; ``to_df`` materializes the broadcastable rule
+    dimension ``evaluate_rules`` consumes. add/remove/update mirror the
+    reference's AlertSystem rule management.
+    """
+
+    _FIELDS = (
+        "rule_id", "metric", "threshold", "comparison", "severity",
+        "monitor_id", "model_id", "cooldown_minutes", "enabled",
+    )
+
+    def __init__(self) -> None:
+        self._rules: dict[str, dict] = {}
+
+    def add_rule(self, rule_id: str, metric: str, threshold: float,
+                 comparison: str = "gt", severity: str = "warning",
+                 monitor_id: str | None = None, model_id: str | None = None,
+                 cooldown_minutes: int = 60, enabled: bool = True) -> None:
+        if comparison not in ("gt", "lt"):
+            raise ValueError("comparison must be 'gt' or 'lt'")
+        self._rules[str(rule_id)] = dict(
+            rule_id=str(rule_id), metric=metric, threshold=float(threshold),
+            comparison=comparison, severity=severity, monitor_id=monitor_id,
+            model_id=model_id, cooldown_minutes=int(cooldown_minutes),
+            enabled=bool(enabled),
+        )
+
+    def remove_rule(self, rule_id: str) -> bool:
+        return self._rules.pop(str(rule_id), None) is not None
+
+    def update_rule(self, rule_id: str, **kwargs) -> bool:
+        rule = self._rules.get(str(rule_id))
+        if rule is None:
+            return False
+        for k, v in kwargs.items():
+            if k in rule:
+                rule[k] = v
+        return True
+
+    def get_rule(self, rule_id: str) -> dict | None:
+        r = self._rules.get(str(rule_id))
+        return dict(r) if r else None
+
+    def to_df(self, spark) -> DataFrame:
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("rule_id", T.StringType()),
+                T.StructField("metric", T.StringType()),
+                T.StructField("threshold", T.DoubleType()),
+                T.StructField("comparison", T.StringType()),
+                T.StructField("severity", T.StringType()),
+                T.StructField("monitor_id", T.StringType()),
+                T.StructField("model_id", T.StringType()),
+                T.StructField("cooldown_minutes", T.IntegerType()),
+                T.StructField("enabled", T.BooleanType()),
+            ]
+        )
+        rows = [tuple(r[f] for f in self._FIELDS) for r in self._rules.values()]
+        return spark.createDataFrame(rows, schema)
+
+
 def evaluate_rules(
     metrics: DataFrame,
     rules: DataFrame,

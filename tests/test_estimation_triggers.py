@@ -448,3 +448,28 @@ class TestAlertRulesEscalation:
         assert e["status"] == "escalated"
         assert e["message"] == "[ESCALATED] m1"
         assert e["escalated_at"] is not None
+
+
+class TestAlertRuleSet:
+    def test_crud_and_evaluation(self, spark):
+        rs = alerts.AlertRuleSet()
+        rs.add_rule("r1", "psi", 0.25, severity="warning")
+        rs.add_rule("r2", "accuracy", 0.8, comparison="lt", severity="critical")
+        assert rs.update_rule("r1", threshold=0.3)
+        assert not rs.update_rule("missing", threshold=1.0)
+        assert rs.get_rule("r1")["threshold"] == 0.3
+        assert rs.remove_rule("r2")
+        assert not rs.remove_rule("r2")
+        with pytest.raises(ValueError):
+            rs.add_rule("bad", "x", 1.0, comparison="between")
+
+        metrics = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "monitor_id": ["m"], "model_id": ["mod"],
+                    "metric": ["psi"], "value": [0.5], "detected_at": [NOW],
+                }
+            )
+        )
+        out = alerts.evaluate_rules(metrics, rs.to_df(spark)).collect()
+        assert len(out) == 1 and out[0]["rule_id"] == "r1"
