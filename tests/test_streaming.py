@@ -136,3 +136,68 @@ class TestStreamingDetector:
         ).toPandas()
         batch_drifts = sorted(batch[batch["level"] == "drift"]["seq"].tolist())
         assert sorted(got["seq"].tolist()) == batch_drifts
+
+
+class TestStreamingWindowedDrift:
+    def test_windowed_counts_and_drift_verdicts(self, spark, tmp_path):
+        import numpy as np
+        import pandas as pd
+        from datetime import datetime, timedelta
+
+        from aumos_drift_detector_spark.streaming.drift_stream import (
+            drift_foreach_batch,
+            streaming_binned_counts,
+        )
+
+        src = tmp_path / "src"
+        src.mkdir()
+        t0 = datetime(2026, 1, 1, 0, 0, 0)
+        rng = np.random.default_rng(0)
+        # window 1: values match the baseline distribution; window 2: shifted
+        w1 = pd.DataFrame(
+            {
+                "ts": [t0 + timedelta(seconds=int(s)) for s in rng.integers(0, 59, 400)],
+                "value": rng.uniform(0, 50, 400),
+            }
+        )
+        w2 = pd.DataFrame(
+            {
+                "ts": [
+                    t0 + timedelta(seconds=int(s) + 60)
+                    for s in rng.integers(0, 59, 400)
+                ],
+                "value": rng.uniform(50, 100, 400),  # drifted
+            }
+        )
+        spark.createDataFrame(pd.concat([w1, w2])).write.parquet(str(src / "f1"))
+
+        stream = spark.readStream.schema("ts timestamp, value double").parquet(
+            str(src / "*")
+        )
+        counts = streaming_binned_counts(
+            stream, "ts", "value", domain=(0.0, 100.0), n_bins=20,
+            window_duration="1 minute",
+        )
+
+        baseline = np.zeros(20, dtype=np.int64)
+        baseline[:10] = 100  # uniform over [0, 50) like window 1
+        got: list = []
+        fn = drift_foreach_batch(
+            baseline, "js", threshold=0.1, n_bins=20,
+            sink=lambda pdf, bid: got.append(pdf),
+        )
+        q = (
+            counts.writeStream.outputMode("update")
+            .foreachBatch(fn)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        verdicts = pd.concat(got).sort_values("window_start").reset_index(drop=True)
+        assert len(verdicts) == 2
+        assert not verdicts.iloc[0]["is_drifted"]   # same distribution
+        assert verdicts.iloc[1]["is_drifted"]       # shifted window
+        assert verdicts.iloc[0]["n_window"] == 400
+        assert verdicts.iloc[1]["n_window"] == 400
+        assert (verdicts["test"] == "jensen_shannon").all()
