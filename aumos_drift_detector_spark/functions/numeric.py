@@ -36,7 +36,10 @@ def kolmogorov_sf(lam: float) -> float:
     Returns:
         P(K > lam), clamped to [0, 1].
     """
-    if lam <= 0.0:
+    # also catches subnormal lam where lam*lam underflows to exactly 0
+    # (found by hypothesis: lam ~ 1e-308 -> ZeroDivisionError in the theta
+    # series); SF at +0 is 1 regardless
+    if lam <= 0.0 or lam * lam == 0.0:
         return 1.0
     if lam >= 8.0:  # exp(-128) underflows to ~0
         return 0.0

@@ -1,0 +1,137 @@
+"""Property-based tests (hypothesis) for the pure-numpy statistical kernels.
+
+No Spark: these pin the mathematical invariants of the driver-side kernels —
+bounds, symmetry, permutation behavior, monotonicity, and exact-vs-asymptotic
+consistency — over randomized inputs, complementing the fixed-value parity
+tests.
+"""
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from aumos_drift_detector_spark.functions.kernels import (
+    hellinger_from_counts,
+    js_from_counts,
+    psi_from_counts,
+)
+from aumos_drift_detector_spark.functions.numeric import (
+    chi2_sf,
+    kolmogorov_sf,
+    ks_2samp_exact_sf,
+    ks_2samp_pvalue,
+)
+from aumos_drift_detector_spark.operators.drift import _weighted_percentiles
+from aumos_drift_detector_spark.operators.estimation import _pav_isotonic
+
+counts = st.lists(st.integers(0, 10_000), min_size=2, max_size=40)
+
+
+def _nonzero(c):
+    return sum(c) > 0
+
+
+@settings(max_examples=200, deadline=None)
+@given(counts.filter(_nonzero), counts.filter(_nonzero))
+def test_js_hellinger_bounds_and_symmetry(rc, pc):
+    if len(rc) != len(pc):
+        n = min(len(rc), len(pc))
+        rc, pc = rc[:n], pc[:n]
+    if not (sum(rc) and sum(pc)):
+        return
+    js_ab = js_from_counts(rc, pc).score
+    js_ba = js_from_counts(pc, rc).score
+    he_ab = hellinger_from_counts(rc, pc).score
+    assert 0.0 <= js_ab <= math.sqrt(math.log(2)) + 1e-9
+    assert 0.0 <= he_ab <= 1.0 + 1e-9
+    assert js_ab == pytest.approx(js_ba, abs=1e-12)  # symmetric
+    assert hellinger_from_counts(pc, rc).score == pytest.approx(he_ab, abs=1e-12)
+    # identical distributions score ~0
+    assert js_from_counts(rc, rc).score < 1e-6
+    assert hellinger_from_counts(rc, rc).score < 1e-6
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.integers(1, 5_000), min_size=2, max_size=20))
+def test_psi_identical_is_zero_and_nonnegative(rc):
+    assert psi_from_counts(rc, rc).score == pytest.approx(0.0, abs=1e-12)
+    # scaling production counts uniformly changes nothing (fractions)
+    assert psi_from_counts(rc, [c * 3 for c in rc]).score == pytest.approx(
+        0.0, abs=1e-12
+    )
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.floats(0.0, 1.0),
+    st.integers(2, 80),
+    st.integers(2, 80),
+)
+def test_exact_ks_is_a_probability_and_monotone_in_d(d, n, m):
+    p = ks_2samp_exact_sf(d, n, m)
+    assert 0.0 <= p <= 1.0
+    p_bigger = ks_2samp_exact_sf(min(1.0, d + 0.2), n, m)
+    assert p_bigger <= p + 1e-12  # larger D never more likely
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(800, 3000), st.floats(0.02, 0.2))
+def test_exact_matches_asymptotic_at_moderate_n(n, d):
+    exact = ks_2samp_pvalue(d, n, n, method="exact")
+    asymp = ks_2samp_pvalue(d, n, n, method="asymp")
+    # Stephens-corrected asymptotic agrees with exact to ~1e-2 absolute here
+    assert abs(exact - asymp) < 2e-2
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.floats(0.0, 10.0))
+def test_kolmogorov_sf_bounds(lam):
+    p = kolmogorov_sf(lam)
+    assert 0.0 <= p <= 1.0
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.floats(0.0, 500.0), st.integers(1, 50))
+def test_chi2_sf_bounds_and_monotone(stat, dof):
+    p = chi2_sf(stat, dof)
+    assert 0.0 <= p <= 1.0
+    assert chi2_sf(stat + 10.0, dof) <= p + 1e-12
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(1, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_pav_monotone_and_mass_preserving(pairs):
+    # pairs: (successes_scaled, weight); success_sum <= weight enforced below
+    x = np.arange(len(pairs), dtype=np.float64)
+    w = np.array([p[1] for p in pairs], dtype=np.float64)
+    y = np.array([min(p[0], p[1]) for p in pairs], dtype=np.float64)
+    fit = _pav_isotonic(x, y, w)
+    assert (np.diff(fit) >= -1e-12).all()          # isotonic
+    assert np.dot(fit, w) == pytest.approx(y.sum())  # weighted mass preserved
+    assert (fit >= -1e-12).all() and (fit <= 1 + 1e-12).all()
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(st.integers(1, 20), min_size=1, max_size=50),
+    st.randoms(use_true_random=False),
+)
+def test_weighted_percentiles_match_numpy_expansion(cnts, rnd):
+    vals = np.sort(
+        np.array(sorted(rnd.sample(range(1000), len(cnts))), dtype=np.float64)
+    )
+    c = np.array(cnts, dtype=np.int64)
+    probs = np.array([0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0])
+    got = _weighted_percentiles(vals, c, probs)
+    expanded = np.repeat(vals, c)
+    want = np.percentile(expanded, probs * 100)
+    assert got == pytest.approx(want.tolist(), abs=1e-9)
