@@ -306,6 +306,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     out = os.path.join(BENCH_DATA, "out_bench")
+    # protocol step 4 (same as --one): discard a warmup pass — the cold JVM's
+    # heap pre-touch + JIT + first-scan codegen (~40 s, serial) measures the
+    # JVM, not the engine
+    shutil.rmtree(out, ignore_errors=True)
+    run_validation_pass(spark, cur_dir, base_dir, out)
     shutil.rmtree(out, ignore_errors=True)
     wall, n_rows, n_tokens, report = run_validation_pass(
         spark, cur_dir, base_dir, out
@@ -319,9 +324,23 @@ def main() -> None:
     result["queries"] = qtimes
     result["value"] = round(sum(qtimes.values()), 3)
     result["scaling_ref"] = (
-        "run `python bench.py --scaling` for the 8-vs-32-core measurement; "
-        "round-1 numbers + hardware calibration in BASELINE.md"
+        "run `python bench.py --scaling` for the live 8-vs-32-core "
+        "measurement; full protocol + hardware calibration in BASELINE.md"
     )
+    # last measured --scaling result (2026-08-16, 4M rows / 1.17B tokens,
+    # warm runs, fresh JVM per level, best-of-2) — reproduced on demand:
+    # SPARK_GRAFT_TOKEN_ROWS=4000000 python bench.py --scaling
+    result["scaling_last_measured"] = {
+        "local8_wall_sec": 52.85,
+        "local32_wall_sec": 36.0,
+        "local32_sequences_per_sec": 111114.6,
+        "speedup_8_to_32": 1.468,
+        "hardware_cpu_ceiling": 2.146,
+        "hardware_bandwidth_ceiling": 1.278,
+        "blended_ceiling": 1.562,
+        "efficiency_vs_blended_ceiling": 0.94,
+        "measured_at": "2026-08-16",
+    }
     spark.stop()
     print(json.dumps(result))
 
