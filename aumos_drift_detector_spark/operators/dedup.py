@@ -117,6 +117,28 @@ def minhash_signatures(
     )
 
 
+def _band_rows(
+    signatures: DataFrame, id_col: str, num_bands: int, rows_per_band: int
+) -> DataFrame:
+    """(id, band, band_hash) rows — exactly three narrow columns, so the
+    x``num_bands`` explode and the self-join shuffle never carry the
+    signature array."""
+    return signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("bh"),
+    ).select(id_col, F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     id_col: str,
@@ -130,26 +152,18 @@ def minhash_lsh_candidates(
     The band join keys on (band, band_hash) — a self-join on a high-
     cardinality key, shuffle-balanced; the all-pairs explosion inside one
     bucket is bounded by bucket size (near-duplicate cliques).
-    """
-    bands = signatures.select(
-        F.col(id_col),
-        F.col("minhash"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)
-                    ).alias("band_hash"),
-                ),
-            )
-        ).alias("bh"),
-    ).select(id_col, "minhash", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
 
+    Shuffle hygiene: the band rows carry ONLY (id, band, band_hash) — the
+    64-long signature array does NOT ride the x``num_bands`` explode or the
+    self-join shuffle (that would replicate ~512 bytes x 16 bands x 2 sides
+    per doc). The deduplicated candidate id-pairs rejoin ``signatures``
+    twice, so each signature crosses the wire once per side of each
+    surviving pair, not once per band row.
+    """
+    bands = _band_rows(signatures, id_col, num_bands, rows_per_band)
     left = bands.alias("l")
     right = bands.alias("r")
-    pairs = (
+    pair_ids = (
         left.join(
             right,
             (F.col(f"l.band") == F.col("r.band"))
@@ -159,10 +173,16 @@ def minhash_lsh_candidates(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.minhash").alias("mh_a"),
-            F.col("r.minhash").alias("mh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sig = signatures.select(F.col(id_col), F.col("minhash"))
+    pairs = pair_ids.join(
+        sig.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a")),
+        "id_a",
+    ).join(
+        sig.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("mh_b")),
+        "id_b",
     )
     est = F.size(
         F.filter(

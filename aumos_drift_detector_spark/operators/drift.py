@@ -610,6 +610,53 @@ def wasserstein_test(ref_df, prod_df, column, threshold=None,
 # Chi-squared (categorical)
 # ---------------------------------------------------------------------------
 
+def _merge_topk_tail(
+    cand_pdf: pd.DataFrame,
+    tail_pdf: pd.DataFrame,
+    group_cols: list,
+    cap: int,
+) -> pd.DataFrame:
+    """Phase-2 merge of the distributed chi2 top-K: pick the global top-``cap``
+    per group from the per-partition candidates (bounded: <= partitions x cap
+    rows/group) and fold everything else into one ``__other__`` tail row per
+    group alongside the pre-aggregated per-partition tails.
+    """
+    key = group_cols or ["__g"]
+    if not group_cols:
+        cand_pdf = cand_pdf.assign(__g=0)
+        tail_pdf = tail_pdf.assign(__g=0)
+    cand_pdf = cand_pdf.assign(
+        _tot=cand_pdf["c_ref"] + cand_pdf["c_prod"]
+    ).sort_values(
+        key + ["_tot", "v"], ascending=[True] * len(key) + [False, True],
+        kind="mergesort",
+    )
+    kept = cand_pdf.groupby(key, sort=False).head(cap)
+    overflow = cand_pdf.drop(kept.index)
+    tails = [tail_pdf[key + ["c_ref", "c_prod", "n_cats"]]]
+    if not overflow.empty:
+        tails.append(
+            overflow.groupby(key, as_index=False).agg(
+                c_ref=("c_ref", "sum"),
+                c_prod=("c_prod", "sum"),
+                n_cats=("v", "count"),
+            )
+        )
+    tail_all = pd.concat(tails, ignore_index=True)
+    tail_all = (
+        tail_all.groupby(key, as_index=False).sum()
+        if not tail_all.empty
+        else tail_all
+    )
+    tail_all = tail_all[tail_all.get("n_cats", pd.Series(dtype=np.int64)) > 0]
+    kept = kept.drop(columns=["_tot"]).assign(_is_other=False, n_cats=1)
+    tail_all = tail_all.assign(_is_other=True, v=None)
+    pdf = pd.concat([kept, tail_all], ignore_index=True)
+    if not group_cols and "__g" in pdf.columns:
+        pdf = pdf.drop(columns=["__g"])
+    return pdf
+
+
 def chi2_test_grouped(
     ref_df: DataFrame,
     prod_df: DataFrame,
@@ -626,10 +673,15 @@ def chi2_test_grouped(
 
     Driver-memory guard: only the top ``config.chi2_max_categories``
     categories per group (by pooled count, ties broken by value) collect
-    individually; the tail collapses into one logged ``__other__`` bucket, so
-    the collect stays O(groups x K) for columns of any cardinality. Under the
-    cap the result is identical to the unguarded test. The rank window runs
-    over per-category sketch rows, not raw data; for domains where even the
+    individually; the tail collapses into one logged ``__other__`` bucket.
+    The top-K itself is two-phase distributed: a window keyed by
+    (group, shuffle-partition-id) ranks candidates WITHIN each partition in
+    parallel (never a single-reducer global window — a row outside its
+    partition's top-K cannot be in the global top-K under the strict
+    (count desc, value asc) total order), each partition's tail pre-aggregates
+    to one row, and the global merge runs on the driver over the bounded
+    candidate set (<= shuffle_partitions x K rows per group). Under the cap
+    the result is identical to the unguarded test. For domains where even the
     distinct set is huge (e.g. token ids) use the fixed-domain binned path
     (``histogram_kernel_from_counts``) instead.
     """
@@ -643,22 +695,24 @@ def chi2_test_grouped(
         F.sum(F.when(F.col("side") == _REF, 1).otherwise(0)).alias("c_ref"),
         F.sum(F.when(F.col("side") == _PROD, 1).otherwise(0)).alias("c_prod"),
     )
-    w_rank = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy(
-        F.desc(F.col("c_ref") + F.col("c_prod")), F.col("v")
+    w_local = Window.partitionBy(
+        *[F.col(g) for g in group_cols], F.col("_pid")
+    ).orderBy(F.desc(F.col("c_ref") + F.col("c_prod")), F.col("v"))
+    ranked = per_cat.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_lr", F.row_number().over(w_local)
     )
-    guarded = per_cat.withColumn(
-        "_is_other", F.row_number().over(w_rank) > cap
+    cand_pdf = ranked.filter(F.col("_lr") <= cap).drop("_pid", "_lr").toPandas()
+    tail_pdf = (
+        ranked.filter(F.col("_lr") > cap)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("c_ref").alias("c_ref"),
+            F.sum("c_prod").alias("c_prod"),
+            F.count(F.lit(1)).alias("n_cats"),
+        )
+        .toPandas()
     )
-    counts = guarded.groupBy(
-        *group_cols,
-        "_is_other",
-        F.when(F.col("_is_other"), F.lit(None)).otherwise(F.col("v")).alias("v"),
-    ).agg(
-        F.sum("c_ref").alias("c_ref"),
-        F.sum("c_prod").alias("c_prod"),
-        F.count(F.lit(1)).alias("n_cats"),
-    )
-    pdf = counts.toPandas()
+    pdf = _merge_topk_tail(cand_pdf, tail_pdf, list(group_cols), cap)
     # preserve the reference's python str() coercion for kept categories
     pdf["v"] = np.where(
         pdf["_is_other"], "__other__", pdf["v"].astype(str)

@@ -17,6 +17,7 @@ median-heuristic bandwidth — reference mmd.py:56-59 caps at 500).
 
 from __future__ import annotations
 
+import zlib
 from typing import Any, Callable, Iterator
 
 import numpy as np
@@ -47,7 +48,11 @@ def hash_projection_embedder(dim: int = 64, seed: int = 42) -> Embedder:
         for i, t in enumerate(texts):
             counts = np.zeros(n_buckets)
             for tok in (t or "").lower().split():
-                counts[hash(tok) % n_buckets] += 1.0
+                # crc32, NOT builtin hash(): hash() is salted per Python
+                # process (PYTHONHASHSEED), so on a multi-executor cluster
+                # identical tokens would land in different buckets across
+                # workers and MMD would report spurious drift
+                counts[zlib.crc32(tok.encode("utf-8")) % n_buckets] += 1.0
             v = counts @ proj
             norm = float(np.linalg.norm(v))
             out[i] = v / norm if norm > 0 else v

@@ -57,6 +57,14 @@ class TestMinhash:
         m2 = dict(zip(s2["doc_id"], s2["minhash"].apply(list)))
         assert m1 == m2
 
+    def test_band_rows_carry_no_signature_payload(self, spark, docs_df):
+        """The band self-join operands must be (id, band, band_hash) only —
+        the 64-long signature array must not ride the x16 band explode or
+        the join shuffle (it rejoins onto the surviving id-pairs instead)."""
+        sig = dedup.minhash_signatures(docs_df, "doc_id", "text", 64)
+        bands = dedup._band_rows(sig, "doc_id", 16, 4)
+        assert bands.columns == ["doc_id", "band", "band_hash"]
+
     def test_estimator_tracks_true_jaccard(self, spark, docs_df):
         pairs = dedup.minhash_dedup(
             docs_df, "doc_id", "text", num_hashes=64, num_bands=32, threshold=0.0

@@ -263,6 +263,32 @@ class TestParallelPrefixSumPlans:
         plan = stats._jdf.queryExecution().executedPlan().toString()
         assert "Exchange SinglePartition" not in plan, plan
 
+    def test_chi2_topk_guard_has_no_single_partition_exchange(self, spark):
+        """The UNGROUPED chi2 category guard must rank within shuffle
+        partitions (window keyed by spark_partition_id), never via a global
+        single-reducer rank window over all distinct categories."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        ref, prod = self._grouped_plan(spark, "chi2")
+        sides = drift._sides(ref, prod, "value", (), cast_double=False)
+        per_cat = sides.groupBy("v").agg(
+            F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("c_ref"),
+            F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("c_prod"),
+        )
+        w_local = Window.partitionBy(F.col("_pid")).orderBy(
+            F.desc(F.col("c_ref") + F.col("c_prod")), F.col("v")
+        )
+        ranked = per_cat.withColumn(
+            "_pid", F.spark_partition_id()
+        ).withColumn("_lr", F.row_number().over(w_local))
+        cand = ranked.filter(F.col("_lr") <= 3).drop("_pid", "_lr")
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        # the ranking window itself must never collapse to one reducer
+        # (the ungrouped tail's global agg is a benign 1-row-per-partition
+        # partial-agg exchange and is not part of this assertion)
+        assert "Exchange SinglePartition" not in plan, plan
+
     def test_cumulative_helper_matches_serial_window(self, spark):
         """Value parity: parallel prefix sum == naive single-window cumsum."""
         import pandas as pd
