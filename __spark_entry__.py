@@ -442,7 +442,11 @@ def _q_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_forecast_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W8: linear forecast + 80% PI per event_type — rows-only."""
+    """W8: linear forecast + 80% PI per event_type.
+
+    Oracle-checked: the OLS fit + prediction-interval math is closed-form
+    from aggregates, so DuckDB re-derives it with covar_pop/var_pop +
+    generate_series (round-6 on both sides)."""
     from aumos_drift_detector_spark.operators.trend import linear_forecast
 
     ev = _t(spark, sf_dir, "events")
@@ -450,7 +454,15 @@ def _q_forecast_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
         .agg(F.avg("value").alias("v"))
     )
-    return linear_forecast(daily, ["event_type"], "day", "v", horizon=3)
+    fc = linear_forecast(daily, ["event_type"], "day", "v", horizon=3)
+    return fc.select(
+        "event_type",
+        "step",
+        F.round("predicted", 6).alias("predicted"),
+        F.round("lower_80", 6).alias("lower_80"),
+        F.round("upper_80", 6).alias("upper_80"),
+        "crosses_threshold",
+    ).orderBy("event_type", "step")
 
 
 def _cbpe_probe(spark: SparkSession, sf_dir: str):
@@ -1109,8 +1121,52 @@ SELECT round(((SELECT nt FROM tot) - 1.0) / (SELECT nt FROM tot)
        (SELECT np FROM tot)::BIGINT AS n_prod
 FROM sums
 """,
+        # W8: OLS forecast + 80% PI, closed form from aggregates. x is the
+        # 0-based day index per event_type; slope/intercept via
+        # covar_pop/var_pop; margin = 1.282 * sqrt(ssr/(n-2)) *
+        # sqrt(1 + 1/n + (xf - xbar)^2 / sxx) — exactly trend.linear_forecast.
+        "forecast_events": """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, avg(value) AS v
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) - 1.0 AS x
+  FROM daily
+),
+fit AS (
+  SELECT event_type, count(*) AS n, avg(x) AS xbar,
+         covar_pop(x, v) / var_pop(x) AS slope,
+         avg(v) - covar_pop(x, v) / var_pop(x) * avg(x) AS intercept
+  FROM idx GROUP BY 1
+),
+resid AS (
+  SELECT f.event_type, f.n, f.xbar, f.slope, f.intercept,
+         sum(pow(i.v - (f.intercept + f.slope * i.x), 2)) AS ssr,
+         sum(pow(i.x - f.xbar, 2)) AS sxx
+  FROM fit f JOIN idx i USING (event_type)
+  GROUP BY 1, 2, 3, 4, 5
+),
+fc AS (
+  SELECT r.event_type, s.step,
+         r.intercept + r.slope * (r.n - 1 + s.step) AS predicted,
+         1.282 * sqrt(r.ssr / (r.n - 2))
+           * sqrt(1.0 + 1.0 / r.n + pow(r.n - 1 + s.step - r.xbar, 2) / r.sxx)
+           AS margin
+  FROM resid r
+  CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS step) s
+  WHERE r.n >= 3
+)
+SELECT event_type, step::INTEGER AS step,
+       round(predicted, 6) AS predicted,
+       round(greatest(0.0, predicted - margin), 6) AS lower_80,
+       round(predicted + margin, 6) AS upper_80,
+       FALSE AS crosses_threshold
+FROM fc
+""",
         # adwin_events, mmd_embeddings, minhash_pairs, simhash_pairs,
-        # cusum_events, forecast_events, cbpe_estimate, dle_loss,
+        # cusum_events, cbpe_estimate, dle_loss,
         # embedding_neardup, multivariate_drift: rows-only (sequential state
         # machines, kernel matrices, seeded GBT/bootstrap/SVD, engine-specific
         # hash constants)

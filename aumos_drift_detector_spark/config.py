@@ -21,6 +21,11 @@ class EngineConfig:
     psi_threshold: float = 0.2
     psi_warning_threshold: float = 0.1
     ks_threshold: float = 0.05
+    # 'auto' mirrors scipy.stats.ks_2samp (exact lattice DP when
+    # max(n, m) <= 10_000, else asymptotic); the exact DP is O(n*m) driver
+    # work PER GROUP — grouped runs with many ~10k-row groups should set
+    # 'asymp' to skip it (round-2 advisory)
+    ks_pvalue_method: str = "auto"
     chi2_threshold: float = 0.05
     js_threshold: float = 0.1
     hellinger_threshold: float = 0.1

@@ -222,9 +222,10 @@ def ks_verdict(
     m: int,
     threshold: float = 0.05,
     feature_name: str = "unknown",
+    method: str = "auto",
 ) -> DriftVerdict:
     """KS verdict from the distributed D statistic + post-clean sample sizes."""
-    p = ks_2samp_pvalue(d, n, m)
+    p = ks_2samp_pvalue(d, n, m, method=method)
     return DriftVerdict(
         test="ks",
         score=p,

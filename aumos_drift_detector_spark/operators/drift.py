@@ -322,7 +322,12 @@ def ks_test_grouped(
         elif m == 0:
             verdicts.append((key, None, "Production dataset contains only NaN/inf values"))
         else:
-            verdicts.append((key, ks_verdict(float(r["d"]), n, m, threshold, column), None))
+            verdicts.append((
+                key,
+                ks_verdict(float(r["d"]), n, m, threshold, column,
+                           method=config.ks_pvalue_method),
+                None,
+            ))
     if not pdf.shape[0] and not group_cols:
         verdicts.append(((), None, "Reference dataset contains only NaN/inf values"))
     return _verdict_frame(verdicts, group_cols)
@@ -875,7 +880,12 @@ def fused_tests_from_sketch(
                 np.max(np.abs(np.cumsum(cr) / n_ref - np.cumsum(cp) / n_prod))
             )
             out_ks.append(
-                (key, ks_verdict(d, n_ref, n_prod, config.ks_threshold, column), None)
+                (
+                    key,
+                    ks_verdict(d, n_ref, n_prod, config.ks_threshold, column,
+                               method=config.ks_pvalue_method),
+                    None,
+                )
             )
 
         # ---- JS (js_test_grouped parity: shared-range equal-width) -------

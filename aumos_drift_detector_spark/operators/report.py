@@ -10,6 +10,10 @@ pass + driver-side dict shaping. Rolling-window metrics (W1) are proper
 
 from __future__ import annotations
 
+import json
+import uuid
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
 from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -161,3 +165,190 @@ def build_drift_report(
             round(ttc, 2) if ttc is not None else None
         )
     return report
+
+
+def build_heatmap(
+    results_df: DataFrame,
+    run_id: str,
+    history_df: DataFrame | None = None,
+    feature_col: str = "feature",
+    default_threshold: float = 0.25,
+) -> dict | None:
+    """Feature x time drift-score heatmap payload (report_generator.py:635-688).
+
+    Without history: one "now" column from the run's drift rows. With
+    ``history_df`` (feature, ts, score — i.e. the results table over past
+    runs): the full matrix, missing cells filled 0.0 like the reference.
+    The pivot collects only (features x timestamps) cells — a visualization
+    payload is driver-sized by definition; the grouping that produces it is
+    distributed.
+    """
+    rows = (
+        results_df.where((F.col("run_id") == run_id) & F.col("is_drifted").isNotNull())
+        .groupBy(feature_col)
+        .agg(
+            F.max("score").alias("score"),
+            F.max("threshold").alias("threshold"),
+        )
+        .orderBy(feature_col)
+        .collect()
+    )
+    if not rows:
+        return None
+    features = [str(r[feature_col]) for r in rows]
+    thr = rows[0]["threshold"]
+    threshold = float(thr) if thr is not None and thr == thr else default_threshold
+
+    if history_df is None:
+        return {
+            "features": features,
+            "time_labels": ["now"],
+            "scores_matrix": [[float(r["score"] or 0.0)] for r in rows],
+            "threshold": threshold,
+        }
+
+    hist = (
+        history_df.groupBy(feature_col, "ts")
+        .agg(F.max("score").alias("score"))
+        .collect()
+    )
+    stamps = sorted({r["ts"] for r in hist})
+    if not stamps:
+        return None
+    cells = {(str(r[feature_col]), r["ts"]): float(r["score"] or 0.0) for r in hist}
+    return {
+        "features": features,
+        "time_labels": [ts.isoformat() for ts in stamps],
+        "scores_matrix": [
+            [cells.get((f, ts), 0.0) for ts in stamps] for f in features
+        ],
+        "threshold": threshold,
+    }
+
+
+def executive_summary(
+    drifted_count: int,
+    total_features: int,
+    overall_action: str,
+    top_features: Sequence[str],
+    period_start: datetime,
+    now: datetime | None = None,
+    accuracy_delta: float | None = None,
+    risk: str = "low",
+) -> str:
+    """Plain-text executive summary (report_generator.py:743-805, same
+    sentence templates and ordering)."""
+    now = now or datetime.now(tz=timezone.utc)
+    duration_hours = max(1, int((now - period_start).total_seconds() / 3600))
+    drift_summary = (
+        f"{drifted_count} of {total_features} monitored features"
+        if total_features > 0
+        else "0 features"
+    )
+    top_feat_str = ", ".join(top_features) if top_features else "none identified"
+    if drifted_count == 0:
+        status_text = "No data drift was detected during this assessment period."
+        action_text = "No immediate action is required."
+    else:
+        status_text = (
+            f"Data drift was detected in {drift_summary} over the past "
+            f"{duration_hours} hours. The primary contributing features are: "
+            f"{top_feat_str}."
+        )
+        action_map = {
+            "retrain": "Immediate model retraining is recommended to restore performance.",
+            "investigate": (
+                "Investigation of the drifted features is recommended before "
+                "deciding on retraining."
+            ),
+            "monitor": (
+                "Continued monitoring is recommended; drift is within "
+                "acceptable bounds."
+            ),
+            "ignore": "No action required at this time.",
+        }
+        action_text = action_map.get(
+            overall_action, "Review the feature assessments below."
+        )
+    perf_text = ""
+    if accuracy_delta is not None:
+        direction = "decreased" if accuracy_delta < 0 else "improved"
+        perf_text = (
+            f" Model accuracy has {direction} by {abs(accuracy_delta):.2%} "
+            f"(risk level: {risk})."
+        )
+    return f"{status_text}{perf_text} {action_text}"
+
+
+@dataclass
+class ReportSchedule:
+    """Scheduled-report configuration (report_generator.py:249-275).
+
+    Notification-channel dispatch (email/Slack senders) is external I/O and
+    out of engine scope; the schedule registry + history below are the
+    bookkeeping surface the reference exposes.
+    """
+
+    schedule_id: str
+    monitor_id: str
+    cron_expression: str
+    recipients_email: list[str] = field(default_factory=list)
+    recipients_slack_webhook: list[str] = field(default_factory=list)
+    report_format: str = "json"
+    include_heatmap: bool = True
+    enabled: bool = True
+    last_run_at: datetime | None = None
+
+
+class ReportRegistry:
+    """Schedule CRUD + report history (report_generator.py:388-466).
+
+    Driver-side registry over engine-built report dicts; persistence of the
+    reports themselves is the results/violations tables — this mirrors the
+    reference's in-memory bookkeeping exactly.
+    """
+
+    def __init__(self) -> None:
+        self._history: list[dict] = []
+        self._schedules: dict[str, ReportSchedule] = {}
+
+    # -- schedules ---------------------------------------------------------
+    def register_schedule(self, schedule: ReportSchedule) -> None:
+        self._schedules[schedule.schedule_id] = schedule
+
+    def remove_schedule(self, schedule_id: str) -> bool:
+        return self._schedules.pop(schedule_id, None) is not None
+
+    def list_schedules(self, monitor_id: str | None = None) -> list[ReportSchedule]:
+        out = list(self._schedules.values())
+        if monitor_id is not None:
+            out = [s for s in out if s.monitor_id == monitor_id]
+        return out
+
+    # -- history -----------------------------------------------------------
+    def record(self, report: dict, monitor_id: str | None = None) -> dict:
+        entry = dict(report)
+        entry.setdefault("report_id", uuid.uuid4().hex)
+        entry.setdefault(
+            "generated_at", datetime.now(tz=timezone.utc).isoformat()
+        )
+        if monitor_id is not None:
+            entry["monitor_id"] = monitor_id
+        self._history.append(entry)
+        return entry
+
+    def get_report_history(
+        self, monitor_id: str | None = None, limit: int = 50
+    ) -> list[dict]:
+        reports = list(reversed(self._history))  # newest-first
+        if monitor_id is not None:
+            reports = [r for r in reports if r.get("monitor_id") == monitor_id]
+        return reports[:limit]
+
+    def export_report_json(self, report_id: str, indent: int = 2) -> str:
+        report = next(
+            (r for r in self._history if r.get("report_id") == report_id), None
+        )
+        if report is None:
+            raise ValueError(f"Report {report_id} not found")
+        return json.dumps(report, indent=indent, default=str)

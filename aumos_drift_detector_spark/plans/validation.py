@@ -244,9 +244,19 @@ class ValidationRun:
             vio = res.violations
             if "occurrences" in vio.columns:
                 vio = vio.drop("occurrences")
+            # NULL partition values coalesce to a check-type-specific
+            # sentinel: global checks own '__global__'; partition checks use
+            # '__unattributed__' so a later batch re-reporting run-scoped
+            # unattributed counts never dynamic-overwrites (and wipes) the
+            # global checks' results partition (round-2 advisory)
+            sentinel = (
+                "__global__"
+                if res.check_name in GLOBAL_CHECKS
+                else "__unattributed__"
+            )
             return vio.select(
                 F.lit(self.run_id).alias("run_id"),
-                F.coalesce(F.col("partition_value"), F.lit("__global__")).alias(
+                F.coalesce(F.col("partition_value"), F.lit(sentinel)).alias(
                     "partition_value"
                 ),
                 F.lit(res.check_name).alias("check_name"),
@@ -325,7 +335,9 @@ class ValidationRun:
                         (F.col("run_id") == self.run_id)
                         & F.col("check_name").isin(batch_checks)
                         & (
-                            F.col("partition_value").isin(batch + ["__global__"])
+                            F.col("partition_value").isin(
+                                batch + ["__unattributed__"]
+                            )
                             | F.lit(include_globals)  # globals span all partitions
                         )
                     )
@@ -478,9 +490,15 @@ class ValidationRun:
         for name in PARTITION_CHECKS:
             for p in batch:
                 batch_rows.append(check_row(name, p, vio_counts.get((name, p), 0)))
-            n_unattributed = vio_counts.get((name, "__global__"), 0)
+            # run-scoped (not batch-scoped) count under its own sentinel
+            # partition: re-reported each batch with the updated run-wide
+            # total — idempotent overwrite of '__unattributed__' only,
+            # never of the globals' '__global__' partition
+            n_unattributed = vio_counts.get((name, "__unattributed__"), 0)
             if n_unattributed:
-                batch_rows.append(check_row(name, "__global__", n_unattributed))
+                batch_rows.append(
+                    check_row(name, "__unattributed__", n_unattributed)
+                )
 
         rows_per_part: dict[str, int] = {}
         for _, r in prof.iterrows():

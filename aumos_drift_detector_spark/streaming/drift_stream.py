@@ -65,14 +65,25 @@ def drift_foreach_batch(
     group_cols: Sequence[str] = (),
     feature: str = "stream",
     sink: Callable[[pd.DataFrame, int], None] | None = None,
+    max_tracked_windows: int = 1000,
 ) -> Callable[[DataFrame, int], None]:
     """Build a ``foreachBatch`` function evaluating windowed counts vs baseline.
 
     ``baseline_counts``: n_bins reference counts (or a per-group-key dict).
-    Each micro-batch's (window, group) count rows collapse to verdict rows via
-    the batch kernels; ``sink(verdicts_pdf, batch_id)`` receives them (e.g.
-    append to a results table). Use with
+    ``sink(verdicts_pdf, batch_id)`` receives verdict rows (e.g. append to a
+    results table). Use with
     ``counts_df.writeStream.outputMode("update").foreachBatch(fn)``.
+
+    Update-mode semantics handled correctly: a micro-batch emits only the
+    (window, group, bin) rows it TOUCHED, each carrying that bin's new
+    cumulative count — for a window spanning several micro-batches the batch
+    alone is a partial histogram. The closure therefore upserts incoming rows
+    into per-(window, group) bin state (bounded: windows x groups x bins,
+    the same cardinality as the streaming state store; oldest windows evicted
+    past ``max_tracked_windows``) and scores the MERGED histogram, so each
+    touched window's verdict always reflects every bin seen so far. Append
+    mode (one complete emission per closed window) degenerates to a single
+    upsert and needs no state carry-over.
     """
     from aumos_drift_detector_spark.functions.kernels import (
         chi2_from_counts,
@@ -91,6 +102,10 @@ def drift_foreach_batch(
         raise ValueError(f"unknown kernel {kernel_name!r}")
     kernel = kernels[kernel_name]
 
+    # per-(window_start, window_end, *group) -> np.ndarray[n_bins] cumulative
+    # bin counts, merged across micro-batches (update mode emits partials)
+    state: dict[tuple, np.ndarray] = {}
+
     def for_each(batch_df: DataFrame, batch_id: int) -> None:
         pdf = batch_df.toPandas()
         if pdf.empty:
@@ -108,8 +123,9 @@ def drift_foreach_batch(
             sub = pdf[(pdf["window_start"] == ws) & (pdf["window_end"] == we)]
             for g, gv in zip(group_cols, gvals):
                 sub = sub[sub[g] == gv]
-            pc = np.zeros(n_bins, dtype=np.int64)
-            np.add.at(pc, sub["bin"].to_numpy(dtype=np.int64), sub["cnt"].to_numpy())
+            pc = state.setdefault(key, np.zeros(n_bins, dtype=np.int64))
+            # rows carry the bin's new CUMULATIVE count — overwrite, not add
+            pc[sub["bin"].to_numpy(dtype=np.int64)] = sub["cnt"].to_numpy()
             rc = (
                 baseline_counts[tuple(gvals)]
                 if isinstance(baseline_counts, dict)
@@ -132,5 +148,12 @@ def drift_foreach_batch(
             )
         if sink is not None and out:
             sink(pd.DataFrame(out), batch_id)
+        # evict oldest windows beyond the tracking cap (closed long ago;
+        # update mode will never touch them again once past the watermark)
+        if len(state) > max_tracked_windows:
+            for old in sorted(state, key=lambda k: k[0])[
+                : len(state) - max_tracked_windows
+            ]:
+                del state[old]
 
     return for_each

@@ -188,7 +188,7 @@ def run_validation_pass(spark, cur_dir: str, base_dir: str, out_dir: str):
     wall = time.monotonic() - t0
     n_rows = cur.count()
     n_tokens = cur.agg(F.sum(F.coalesce(F.col("n_tok"), F.lit(0)))).collect()[0][0]
-    return wall, n_rows, int(n_tokens), report
+    return wall, n_rows, int(n_tokens), report, getattr(run, "last_job_walls", {})
 
 
 def bench_queries(spark, repeats: int = 3) -> dict[str, float]:
@@ -247,7 +247,9 @@ def main() -> None:
         shutil.rmtree(out, ignore_errors=True)
         run_validation_pass(spark, cur_dir, base_dir, out)
         shutil.rmtree(out, ignore_errors=True)
-        wall, n_rows, n_tokens, _ = run_validation_pass(spark, cur_dir, base_dir, out)
+        wall, n_rows, n_tokens, _, walls = run_validation_pass(
+            spark, cur_dir, base_dir, out
+        )
         spark.stop()
         print(
             json.dumps(
@@ -256,6 +258,7 @@ def main() -> None:
                     "wall_sec": round(wall, 2),
                     "sequences_per_sec": round(n_rows / wall, 1),
                     "tokens_per_sec": round(n_tokens / wall, 1),
+                    "job_walls": walls,
                 }
             )
         )
@@ -264,7 +267,7 @@ def main() -> None:
     if scaling:
         import subprocess
 
-        levels = [8, 32]
+        levels = [8, 16, 32]  # N, 2N, 4N: a 3-point curve, not one ratio
         repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
         runs: dict[int, dict] = {}
         for cores in levels:
@@ -282,20 +285,33 @@ def main() -> None:
                     best = r
             runs[cores] = {k: v for k, v in best.items() if k != "cores"}
         speedup = runs[32]["sequences_per_sec"] / runs[8]["sequences_per_sec"]
-        hw = _hardware_scaling_factor(levels[0], levels[1])
-        bw = _bandwidth_scaling_factor(levels[0], levels[1])
+        speedup_16 = runs[16]["sequences_per_sec"] / runs[8]["sequences_per_sec"]
+        hw = _hardware_scaling_factor(8, 32)
+        bw = _bandwidth_scaling_factor(8, 32)
         # Blended Amdahl ceiling: the validation pass streams ~3x more bytes
         # (parquet decode + 2.3B-row token explode) than it crunches, so its
         # deliverable ceiling on ONE socket mixes the bandwidth and compute
-        # ceilings. alpha = fraction of 8-core wall in bandwidth-bound stages
-        # (isolated decomposition in BASELINE.md: token histogram + scans
-        # ~= 55% of the warm 8-core wall).
-        alpha = 0.55
+        # ceilings. alpha = fraction of the 8-core run's serialized job wall
+        # spent in the bandwidth-bound stages, MEASURED per run from the
+        # engine's per-job walls (token histogram explode+scan, violation
+        # scan+write) rather than asserted.
+        walls8 = runs[8].get("job_walls", {})
+        stage_walls = {
+            k: v for k, v in walls8.items() if not k.startswith("_")
+        }
+        bw_bound = sum(
+            v for k, v in stage_walls.items() if k in ("token_hist", "violations")
+        )
+        total_stage = sum(stage_walls.values())
+        alpha = round(bw_bound / total_stage, 3) if total_stage else 0.55
         blended = 1.0 / (alpha / bw + (1.0 - alpha) / hw)
         result["scaling"] = {
             "local8": runs[8],
+            "local16": runs[16],
             "local32": runs[32],
+            "speedup_8_to_16": round(speedup_16, 3),
             "speedup_8_to_32": round(speedup, 3),
+            "efficiency_8_to_16": round(speedup_16 / 2.0, 3),
             "efficiency_8_to_32": round(speedup / (32 / 8), 3),
             # this sandbox's 32 vCPUs do NOT deliver 4x the compute of 8
             # (SMT/shared host) — calibrate against a pure-CPU probe AND a
@@ -306,6 +322,7 @@ def main() -> None:
             "hardware_bandwidth_speedup_8_to_32": round(bw, 3),
             "blended_ceiling_8_to_32": round(blended, 3),
             "bandwidth_bound_fraction_alpha": alpha,
+            "alpha_source": "measured: (token_hist+violations)/sum(job walls) at 8 cores",
             "efficiency_vs_cpu_ceiling": round(speedup / hw, 3),
             "efficiency_vs_blended_ceiling": round(speedup / blended, 3),
             "repeats": repeats,
@@ -330,7 +347,7 @@ def main() -> None:
     shutil.rmtree(out, ignore_errors=True)
     run_validation_pass(spark, cur_dir, base_dir, out)
     shutil.rmtree(out, ignore_errors=True)
-    wall, n_rows, n_tokens, report = run_validation_pass(
+    wall, n_rows, n_tokens, report, _walls = run_validation_pass(
         spark, cur_dir, base_dir, out
     )
     result["validation_wall_sec"] = round(wall, 2)

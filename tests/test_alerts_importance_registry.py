@@ -167,3 +167,50 @@ class TestRegistry:
     def test_unknown_check_raises(self, spark, value_df_factory):
         with pytest.raises(KeyError):
             run_custom_check("nope", value_df_factory([1.0]), value_df_factory([1.0]), "value")
+
+    def test_hanging_check_times_out_cleanly(self, spark, value_df_factory):
+        """A deliberately hanging user check must fail with
+        CheckTimeoutError at the deadline, not hang the engine
+        (reference plugin_sandbox.py:23-40 parity)."""
+        import time as _time
+
+        from aumos_drift_detector_spark.functions.registry import (
+            CheckTimeoutError,
+        )
+
+        def hangs(ref, prod):
+            _time.sleep(300)
+            return {"score": 0.0, "threshold": 1.0, "is_drifted": False}
+
+        register_check("hangs", hangs)
+        try:
+            t0 = _time.monotonic()
+            with pytest.raises(CheckTimeoutError, match="deadline"):
+                run_custom_check(
+                    "hangs",
+                    value_df_factory([1.0, 2.0]),
+                    value_df_factory([1.0, 2.0]),
+                    "value",
+                    check_timeout=1.0,
+                )
+            assert _time.monotonic() - t0 < 30  # failed at ~1s, not 300s
+        finally:
+            unregister_check("hangs")
+
+    def test_check_errors_propagate_through_deadline_wrapper(
+        self, spark, value_df_factory
+    ):
+        def broken(ref, prod):
+            raise RuntimeError("bad plugin")
+
+        register_check("broken", broken)
+        try:
+            with pytest.raises(RuntimeError, match="bad plugin"):
+                run_custom_check(
+                    "broken",
+                    value_df_factory([1.0, 2.0]),
+                    value_df_factory([1.0, 2.0]),
+                    "value",
+                )
+        finally:
+            unregister_check("broken")

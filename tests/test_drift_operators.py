@@ -56,6 +56,30 @@ class TestKsOperator:
         res = drift.ks_test(ref, prod, "value")
         assert 0.0 <= res.p_value <= 1.0
 
+    def test_pvalue_method_knob(self, spark, value_df_factory):
+        """EngineConfig.ks_pvalue_method='asymp' skips the O(n*m) exact
+        lattice DP (round-2 advisory: grouped runs with many ~10k-row groups
+        pay minutes of serial driver time under 'auto')."""
+        from aumos_drift_detector_spark.config import EngineConfig
+        from aumos_drift_detector_spark.functions.numeric import ks_2samp_pvalue
+
+        rng = np.random.default_rng(17)
+        a, b = rng.normal(0, 1, 800), rng.normal(0.15, 1, 900)
+        ref, prod = value_df_factory(a), value_df_factory(b)
+        exact = drift.ks_test(ref, prod, "value")  # auto -> exact at n<=10k
+        asymp = drift.ks_test(
+            ref, prod, "value",
+            config=EngineConfig(ks_pvalue_method="asymp"),
+        )
+        d = exact.details["statistic"]
+        assert exact.p_value == pytest.approx(
+            ks_2samp_pvalue(d, 800, 900, method="exact"), abs=1e-12
+        )
+        assert asymp.p_value == pytest.approx(
+            ks_2samp_pvalue(d, 800, 900, method="asymp"), abs=1e-12
+        )
+        assert exact.p_value != asymp.p_value  # the knob actually switches
+
     def test_threshold_sensitivity(self, spark, value_df_factory):
         # reference test_ks_test.py:109-119 — stricter threshold can flip verdict
         rng = np.random.default_rng(11)

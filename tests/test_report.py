@@ -6,7 +6,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from aumos_drift_detector_spark.operators.report import (
+    ReportRegistry,
+    ReportSchedule,
     build_drift_report,
+    build_heatmap,
+    executive_summary,
     risk_level,
     rolling_metrics,
     time_to_critical_hours,
@@ -92,3 +96,129 @@ class TestReportAssembly:
         assert report["accuracy_delta"] == pytest.approx(-0.05)
         assert report["risk_level"] == "medium"
         assert report["time_to_critical_hours"] > 0
+
+
+class TestHeatmap:
+    def _results(self, spark):
+        return spark.createDataFrame(
+            [
+                ("r1", "psi", "n_tok", 0.31, 0.2, True),
+                ("r1", "ks", "n_tok", 0.002, 0.05, True),
+                ("r1", "jensen_shannon", "n_chars", 0.05, 0.1, False),
+            ],
+            "run_id string, check_name string, feature string, "
+            "score double, threshold double, is_drifted boolean",
+        )
+
+    def test_single_column_heatmap(self, spark):
+        hm = build_heatmap(self._results(spark), "r1")
+        assert hm["time_labels"] == ["now"]
+        assert hm["features"] == ["n_chars", "n_tok"]
+        # per-feature max score (n_tok carries psi 0.31 > ks 0.002)
+        assert hm["scores_matrix"] == [[0.05], [0.31]]
+        assert len(hm["scores_matrix"]) == len(hm["features"])
+
+    def test_history_matrix_fills_missing_with_zero(self, spark):
+        from datetime import datetime
+
+        t1, t2 = datetime(2026, 1, 1), datetime(2026, 1, 2)
+        hist = spark.createDataFrame(
+            [("n_tok", t1, 0.1), ("n_tok", t2, 0.3), ("n_chars", t2, 0.05)],
+            "feature string, ts timestamp, score double",
+        )
+        hm = build_heatmap(self._results(spark), "r1", history_df=hist)
+        assert hm["time_labels"] == [t1.isoformat(), t2.isoformat()]
+        # n_chars has no t1 observation -> 0.0 (reference fill)
+        assert hm["scores_matrix"][hm["features"].index("n_chars")] == [0.0, 0.05]
+        assert hm["scores_matrix"][hm["features"].index("n_tok")] == [0.1, 0.3]
+
+    def test_empty_run_returns_none(self, spark):
+        assert build_heatmap(self._results(spark), "missing") is None
+
+
+class TestExecutiveSummary:
+    def test_no_drift_wording(self):
+        from datetime import datetime, timedelta, timezone
+
+        now = datetime.now(tz=timezone.utc)
+        text = executive_summary(
+            0, 5, "ignore", [], now - timedelta(hours=2), now
+        )
+        assert "No data drift was detected" in text
+        assert "No immediate action is required." in text
+
+    def test_drift_with_accuracy(self):
+        from datetime import datetime, timedelta, timezone
+
+        now = datetime.now(tz=timezone.utc)
+        text = executive_summary(
+            3, 5, "retrain", ["a", "b"], now - timedelta(hours=48), now,
+            accuracy_delta=-0.07, risk="medium",
+        )
+        assert "3 of 5 monitored features" in text
+        assert "past 48 hours" in text
+        assert "a, b" in text
+        assert "decreased by 7.00%" in text and "risk level: medium" in text
+        assert "Immediate model retraining is recommended" in text
+
+
+class TestReportRegistry:
+    def test_schedule_crud(self):
+        reg = ReportRegistry()
+        s = ReportSchedule("s1", "m1", "0 9 * * *", ["a@x"], [], "json")
+        reg.register_schedule(s)
+        reg.register_schedule(ReportSchedule("s2", "m2", "0 0 * * 0"))
+        assert {x.schedule_id for x in reg.list_schedules()} == {"s1", "s2"}
+        assert [x.schedule_id for x in reg.list_schedules("m1")] == ["s1"]
+        assert reg.remove_schedule("s1") is True
+        assert reg.remove_schedule("s1") is False  # reference: False if absent
+        assert reg.list_schedules()[0].schedule_id == "s2"
+
+    def test_history_newest_first_and_export(self):
+        import json as _json
+
+        reg = ReportRegistry()
+        r1 = reg.record({"run_id": "a"}, monitor_id="m1")
+        r2 = reg.record({"run_id": "b"}, monitor_id="m2")
+        hist = reg.get_report_history()
+        assert [h["run_id"] for h in hist] == ["b", "a"]  # newest-first
+        assert [h["run_id"] for h in reg.get_report_history("m1")] == ["a"]
+        assert reg.get_report_history(limit=1)[0]["run_id"] == "b"
+        exported = _json.loads(reg.export_report_json(r2["report_id"]))
+        assert exported["run_id"] == "b"
+        with pytest.raises(ValueError, match="not found"):
+            reg.export_report_json("nope")
+
+
+class TestBeeswarm:
+    def test_shape_and_determinism(self, spark):
+        from aumos_drift_detector_spark.operators.importance import beeswarm_data
+
+        rng = np.random.default_rng(8)
+        ref = spark.createDataFrame(
+            pd.DataFrame({"f1": rng.normal(0, 1, 4000),
+                          "f2": rng.normal(5, 2, 4000)})
+        )
+        prod = spark.createDataFrame(
+            pd.DataFrame({"f1": rng.normal(1, 1, 4000),
+                          "f2": rng.normal(5, 2, 4000)})
+        )
+        w = {"f1": 0.8, "f2": 0.1}
+        a = beeswarm_data(ref, prod, ["f1", "f2"], w, samples_per_feature=100)
+        b = beeswarm_data(ref, prod, ["f1", "f2"], w, samples_per_feature=100)
+        assert set(a) == {"f1", "f2"}
+        assert len(a["f1"]) == 100 and len(a["f2"]) == 100
+        assert a == b  # deterministic (crc32 feature seed, value-hash pools)
+        # f1 shifted +1 vs reference N(0,1): mean shap ~ 0.8 * 1.0
+        mean_shap = np.mean([p["shap_value"] for p in a["f1"]])
+        assert 0.4 < mean_shap < 1.2
+        # unweighted feature's shap magnitudes scale with its small weight
+        assert max(abs(p["shap_value"]) for p in a["f2"]) < 1.0
+
+    def test_unranked_feature_skipped_empty_pool_empty(self, spark):
+        from aumos_drift_detector_spark.operators.importance import beeswarm_data
+
+        ref = spark.createDataFrame([(1.0,), (2.0,)], ["f1"])
+        prod = spark.createDataFrame([(1.5,), (2.5,)], ["f1"])
+        out = beeswarm_data(ref, prod, ["f1"], {}, samples_per_feature=10)
+        assert out == {}  # no importance entry -> skipped (reference parity)

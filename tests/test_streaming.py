@@ -201,3 +201,68 @@ class TestStreamingWindowedDrift:
         assert verdicts.iloc[0]["n_window"] == 400
         assert verdicts.iloc[1]["n_window"] == 400
         assert (verdicts["test"] == "jensen_shannon").all()
+
+    def test_window_spanning_micro_batches_merges_counts(self, spark, tmp_path):
+        """Update mode emits only the touched (window, bin) rows per
+        micro-batch; when one window spans several micro-batches the scorer
+        must merge cumulative counts across batches, not rebuild the
+        histogram from the final partial emission (round-2 advisory)."""
+        import numpy as np
+        import pandas as pd
+        from datetime import datetime, timedelta
+
+        from aumos_drift_detector_spark.streaming.drift_stream import (
+            drift_foreach_batch,
+            streaming_binned_counts,
+        )
+
+        src = tmp_path / "src_mb"
+        src.mkdir()
+        t0 = datetime(2026, 1, 1, 0, 0, 0)
+        rng = np.random.default_rng(3)
+        # ONE 1-minute window, written as two files -> two micro-batches
+        # under maxFilesPerTrigger=1. First file covers bins [0,25), second
+        # covers [25,50): each batch alone is a partial histogram.
+        half1 = pd.DataFrame({
+            "ts": [t0 + timedelta(seconds=int(s)) for s in rng.integers(0, 59, 200)],
+            "value": rng.uniform(0, 25, 200),
+        })
+        half2 = pd.DataFrame({
+            "ts": [t0 + timedelta(seconds=int(s)) for s in rng.integers(0, 59, 200)],
+            "value": rng.uniform(25, 50, 200),
+        })
+        spark.createDataFrame(half1).coalesce(1).write.parquet(str(src / "f1"))
+        spark.createDataFrame(half2).coalesce(1).write.parquet(str(src / "f2"))
+
+        stream = (
+            spark.readStream.schema("ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        counts = streaming_binned_counts(
+            stream, "ts", "value", domain=(0.0, 100.0), n_bins=20,
+            window_duration="1 minute",
+        )
+        baseline = np.zeros(20, dtype=np.int64)
+        baseline[:10] = 100  # uniform over [0, 50): matches the FULL window
+        got: list = []
+        fn = drift_foreach_batch(
+            baseline, "js", threshold=0.1, n_bins=20,
+            sink=lambda pdf, bid: got.append(pdf),
+        )
+        q = (
+            counts.writeStream.outputMode("update")
+            .foreachBatch(fn)
+            .option("checkpointLocation", str(tmp_path / "ckpt_mb"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        verdicts = pd.concat(got)
+        assert len(got) >= 2, "expected the window to span >1 micro-batch"
+        final = verdicts.iloc[-1]
+        # merged histogram: all 400 rows across both halves, NOT drifted
+        # (each half alone covers only half the baseline's support and
+        # would spuriously drift)
+        assert final["n_window"] == 400
+        assert not final["is_drifted"]
