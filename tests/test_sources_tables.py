@@ -1,0 +1,66 @@
+"""Table-source abstraction: parquet path, partition pruning, iceberg gating."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aumos_drift_detector_spark.sources.tables import (
+    TableFormatUnavailable,
+    read_sequences,
+    write_sequences,
+)
+
+
+@pytest.fixture()
+def seq_table(spark, tmp_path):
+    df = spark.createDataFrame(
+        [
+            ("d1", [1, 2, 3], 3, "web"),
+            ("d2", [4, 5], 2, "web"),
+            ("d3", [6], 1, "books"),
+            ("d4", [7, 8, 9, 10], 4, "code"),
+        ],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    loc = str(tmp_path / "seq")
+    write_sequences(df, loc)
+    return loc
+
+
+class TestReadSequences:
+    def test_parquet_roundtrip(self, spark, seq_table):
+        df = read_sequences(spark, seq_table, fmt="parquet")
+        assert df.count() == 4
+        assert set(df.columns) == {"doc_id", "tokens", "n_tok", "source"}
+
+    def test_partition_pruning_filter_reaches_scan(self, spark, seq_table):
+        df = read_sequences(spark, seq_table, partitions=["web"])
+        assert df.count() == 2
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # hive-partitioned layout: the IN-filter must prune at the source,
+        # not post-scan (PartitionFilters on the FileSourceScan)
+        assert "PartitionFilters: [" in plan and "source" in plan
+
+    def test_auto_falls_back_to_parquet_for_paths(self, spark, seq_table):
+        assert read_sequences(spark, seq_table, fmt="auto").count() == 4
+
+    def test_iceberg_unavailable_raises_cleanly(self, spark, seq_table):
+        # this sandbox ships no Iceberg runtime jar: the gate must say so
+        # instead of an opaque ClassNotFoundException mid-plan
+        with pytest.raises(TableFormatUnavailable, match="Iceberg"):
+            read_sequences(spark, "catalog.db.tokens", fmt="iceberg")
+
+    def test_unknown_format_raises(self, spark, seq_table):
+        with pytest.raises(ValueError, match="unknown format"):
+            read_sequences(spark, seq_table, fmt="orcish")
+
+    def test_dynamic_overwrite_replaces_only_written_partitions(
+        self, spark, seq_table
+    ):
+        extra = spark.createDataFrame(
+            [("d5", [11], 1, "web")],
+            "doc_id string, tokens array<int>, n_tok int, source string",
+        )
+        write_sequences(extra, seq_table)  # dynamic: only 'web' replaced
+        df = read_sequences(spark, seq_table)
+        assert df.where(F.col("source") == "web").count() == 1
+        assert df.where(F.col("source") == "books").count() == 1  # untouched
