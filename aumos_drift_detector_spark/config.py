@@ -42,6 +42,12 @@ class EngineConfig:
 
     # physical policy
     approx: bool = False              # exact quantiles/distinct for test parity
+    # exact-quantile physical plan: 'sketch' merges per-partition
+    # (value, count) maps in one final reducer (fine while distinct values
+    # are bounded); 'selection' computes the same exact edges via parallel
+    # prefix sums + broadcast rank join with NO single-reducer buffer — the
+    # path for continuous columns at 10^12 rows (distinct ~ rows)
+    exact_quantile_plan: str = "sketch"
     approx_percentile_accuracy: int = 10000
     salt_buckets: int = 16            # salting fan-out for skewed aggregations
     broadcast_dim_threshold: int = 10_000_000  # bytes; hint only

@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from aumos_drift_detector_spark.config import DEFAULT_CONFIG, EngineConfig
 from aumos_drift_detector_spark.functions.kernels import (
@@ -120,6 +121,109 @@ def _cumulative_per_value(
     return joined.select(*out_cols)
 
 
+def quantile_edges_selection(
+    ref_df: DataFrame,
+    column: str,
+    n_bins: int,
+    group_cols: Sequence[str] = (),
+    config: EngineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Exact quantile edges with NO single-reducer percentile buffer.
+
+    The sketch path (``profile.quantile_edges``) merges per-partition
+    (value, count) maps into ONE final reducer — fine while distinct values
+    are bounded, quadratic pain on continuous columns at 10^12 rows where
+    distinct ~ rows. This is the fully distributed alternative (classic
+    rank selection):
+
+      1. per-value counts (parallel combiner),
+      2. range-partitioned parallel prefix sums (``_cumulative_per_value``
+         — the same no-SinglePartition machinery as KS/W1),
+      3. each needed order statistic k (2 per quantile: floor/ceil of
+         h = p*(n-1)) finds its value via a broadcast range join
+         (cum - cnt <= k < cum) — positions are groups x 2(n_bins+1) rows,
+      4. driver-side linear interpolation over the collected picks
+         (``lo + (h - floor(h)) * (hi - lo)`` — the same naive lerp Spark's
+         percentile and DuckDB's quantile_cont use).
+
+    Output schema matches ``quantile_edges``:
+    (group_cols..., edges array<double>, ref_count, ref_distinct).
+    """
+    from aumos_drift_detector_spark.operators.profile import clean_values
+
+    spark = ref_df.sparkSession
+    clean = clean_values(ref_df, column, group_cols)
+    per_value = clean.groupBy(*group_cols, "v").agg(F.count("v").alias("cnt"))
+    cum = _cumulative_per_value(per_value, group_cols, ["cnt"])
+    totals = per_value.groupBy(*group_cols).agg(
+        F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("ref_distinct")
+    )
+    probs = [i / n_bins for i in range(n_bins + 1)]
+    nd = F.col("n").cast("double")
+    structs = []
+    for i, p in enumerate(probs):
+        h = F.lit(float(p)) * (nd - F.lit(1.0))
+        for side, k in (
+            (0, F.floor(h).cast("long")),
+            (1, F.least(F.floor(h).cast("long") + 1, F.col("n") - 1)),
+        ):
+            structs.append(
+                F.struct(
+                    F.lit(i).alias("pi"), k.alias("k"),
+                    h.alias("h"), F.lit(side).alias("side"),
+                )
+            )
+    pos = totals.select(
+        *group_cols, "n", "ref_distinct", F.explode(F.array(*structs)).alias("s")
+    ).select(
+        *group_cols, "n", "ref_distinct",
+        F.col("s.pi").alias("pi"), F.col("s.k").alias("k"),
+        F.col("s.h").alias("h"), F.col("s.side").alias("side"),
+    )
+    c, p_ = cum.alias("c"), F.broadcast(pos).alias("p")
+    cond = (F.col("p.k") >= F.col("c.cum_cnt") - F.col("c.cnt")) & (
+        F.col("p.k") < F.col("c.cum_cnt")
+    )
+    for g in group_cols:
+        cond = cond & (F.col(f"c.{g}") == F.col(f"p.{g}"))
+    picked = c.join(p_, cond, "inner").select(
+        *[F.col(f"p.{g}") for g in group_cols],
+        F.col("p.pi"), F.col("p.h"), F.col("p.side"),
+        F.col("p.n"), F.col("p.ref_distinct"), F.col("c.v"),
+    )
+    pdf = picked.toPandas()  # groups x 2(n_bins+1) rows — tiny
+
+    out_rows, key_iter = [], (
+        pdf[list(group_cols)].drop_duplicates().itertuples(index=False, name=None)
+        if group_cols
+        else ([()] if len(pdf) else [])
+    )
+    for key in key_iter:
+        sub = pdf
+        for g, kv in zip(group_cols, key):
+            sub = sub[sub[g] == kv]
+        edges = []
+        for i in range(len(probs)):
+            pp = sub[sub["pi"] == i]
+            lo = float(pp[pp["side"] == 0]["v"].iloc[0])
+            hi = float(pp[pp["side"] == 1]["v"].iloc[0])
+            h = float(pp["h"].iloc[0])
+            frac = float(h - np.floor(h))
+            edges.append(float(lo + frac * (hi - lo)))
+        out_rows.append(
+            (*key, edges, int(sub["n"].iloc[0]), int(sub["ref_distinct"].iloc[0]))
+        )
+    schema = T.StructType(
+        [ref_df.schema[g] for g in group_cols]
+        + [
+            T.StructField("edges", T.ArrayType(T.DoubleType())),
+            T.StructField("ref_count", T.LongType()),
+            T.StructField("ref_distinct", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(out_rows, schema)
+
+
 def _sides(
     ref_df: DataFrame,
     prod_df: DataFrame,
@@ -198,7 +302,11 @@ def psi_test_grouped(
     threshold = config.psi_threshold if threshold is None else threshold
     n_bins = config.psi_bins if n_bins is None else n_bins
 
-    edges = quantile_edges(ref_df, column, n_bins, group_cols, config)
+    edges = (
+        quantile_edges_selection(ref_df, column, n_bins, group_cols, config)
+        if (not config.approx and config.exact_quantile_plan == "selection")
+        else quantile_edges(ref_df, column, n_bins, group_cols, config)
+    )
     # inner edges drop the 0% and 100% quantiles (±inf caps replace them)
     edges = edges.select(
         *group_cols,

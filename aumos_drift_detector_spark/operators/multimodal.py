@@ -1,9 +1,18 @@
 """Multimodal (image/audio/video) column plumbing.
 
 Media payloads are opaque ``binary`` columns with a typed metadata struct —
-the storage/partitioning/UDF-batching side is fully real; only the codec
-calls are stubbed (no PIL/ffmpeg in this container) behind
-``DecoderUnavailable`` or a deterministic fake, clearly marked.
+the storage/partitioning/UDF-batching side is fully real. Codec coverage is
+split honestly:
+
+- REAL decoders (pure stdlib/numpy, fully tested end-to-end): PPM (P6) and
+  uncompressed 24-bit BMP images; PCM WAV audio (via the stdlib ``wave``
+  module) with RMS / zero-crossing / duration features and nearest-neighbour
+  resize.
+- Compressed codecs (PNG/JPEG/h264/mp3) raise ``DecoderUnavailable`` —
+  PIL/ffmpeg are not in this container; swapping them in changes ONLY the
+  inner decode call, never the distributed plan.
+- A sha256-seeded deterministic fake decoder remains for tests that need
+  stable "pixels" from arbitrary payloads.
 
 Schema convention:
   media (doc_id string, kind string /* image|audio|video */,
@@ -52,10 +61,95 @@ class DecoderUnavailable(NotImplementedError):
 
 
 def decode_image_real(payload: bytes) -> np.ndarray:
-    """STUB — real implementation needs PIL/opencv (absent here)."""
+    """Decode a REAL image payload to (h, w, 3) uint8.
+
+    Dispatches on magic bytes: binary PPM (P6) and uncompressed 24-bit BMP
+    decode here in pure numpy; compressed formats (PNG/JPEG/...) raise
+    ``DecoderUnavailable`` — their codecs are not in this container.
+    """
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp24(payload)
     raise DecoderUnavailable(
-        "image decode requires PIL/opencv; not installed in this environment"
+        "only PPM(P6)/BMP24 decode in-container; PNG/JPEG need PIL/opencv"
     )
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6): header 'P6 <w> <h> <maxval>' then raw RGB bytes."""
+    # header tokens may be separated by arbitrary whitespace/comments
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise DecoderUnavailable("only 8-bit PPM supported")
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return px.reshape(h, w, 3)
+
+
+def _decode_bmp24(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP: bottom-up rows, 4-byte padded, BGR order."""
+    import struct
+
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    w = struct.unpack_from("<i", payload, 18)[0]
+    h = struct.unpack_from("<i", payload, 22)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise DecoderUnavailable("only uncompressed 24-bit BMP supported")
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_offset
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    rows = rows[::-1] if flip else rows        # bottom-up storage
+    return rows[:, :, ::-1].copy()             # BGR -> RGB
+
+
+def decode_audio_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV -> (float64 samples in [-1, 1] per channel-mean, sample_rate).
+
+    Pure stdlib ``wave`` decode — a REAL audio path, no fake.
+    """
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        rate = wf.getframerate()
+        n_ch = wf.getnchannels()
+        width = wf.getsampwidth()
+        raw = wf.readframes(wf.getnframes())
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise DecoderUnavailable("only 8/16-bit PCM WAV supported")
+    if n_ch > 1:
+        x = x.reshape(-1, n_ch).mean(axis=1)
+    return x, rate
+
+
+def resize_nearest(px: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
+    """Nearest-neighbour resize of (h, w, c) — pure-numpy index gather."""
+    h, w = px.shape[:2]
+    oh, ow = out_hw
+    ri = (np.arange(oh) * (h / oh)).astype(np.int64)
+    ci = (np.arange(ow) * (w / ow)).astype(np.int64)
+    return px[ri][:, ci]
 
 
 def _fake_decode(payload: bytes, h: int = 8, w: int = 8, c: int = 3) -> np.ndarray:
@@ -101,7 +195,9 @@ def extract_features(
                 if use_fake_decoder:
                     px = _fake_decode(bytes(payload or b""), h, w)
                 else:
-                    px = decode_image_real(bytes(payload or b""))
+                    px = resize_nearest(
+                        decode_image_real(bytes(payload or b"")), (h, w)
+                    )
                 flat = px.astype(np.float32) / 255.0
                 rows.append(
                     (
@@ -117,6 +213,84 @@ def extract_features(
             )
 
     return df.select("doc_id", "kind", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossing_rate", T.DoubleType()),
+    ]
+)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """REAL WAV decode -> RMS / zero-crossing / duration per audio row.
+
+    ``mapInPandas`` over the binary payload column — the same Arrow-batch
+    shape as the image path, with an actual stdlib PCM decoder inside.
+    Non-WAV payloads raise ``DecoderUnavailable`` (fail the task loudly
+    rather than emit silent garbage).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                x, rate = decode_audio_wav(bytes(payload or b""))
+                n = int(x.size)
+                zc = float(np.mean(np.abs(np.diff(np.signbit(x))))) if n > 1 else 0.0
+                rows.append(
+                    (
+                        doc_id,
+                        int(rate),
+                        n,
+                        n / rate if rate else 0.0,
+                        float(np.sqrt(np.mean(x**2))) if n else 0.0,
+                        zc,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_samples",
+                    "duration_sec", "rms", "zero_crossing_rate",
+                ],
+            )
+
+    return (
+        df.where(F.col("kind") == "audio")
+        .select("doc_id", "payload")
+        .mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+    )
+
+
+def synth_ppm(w: int, h: int, seed: int) -> bytes:
+    """A REAL binary PPM payload (deterministic pixels) for tests."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def synth_wav(freq_hz: float, duration_sec: float, rate: int, seed: int = 0) -> bytes:
+    """A REAL 16-bit PCM WAV payload (sine + seeded noise) for tests."""
+    import io
+    import wave
+
+    t = np.arange(int(rate * duration_sec)) / rate
+    rng = np.random.default_rng(seed)
+    x = 0.5 * np.sin(2 * np.pi * freq_hz * t) + 0.01 * rng.normal(size=t.size)
+    pcm = np.clip(x * 32767, -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
 
 
 def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:

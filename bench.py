@@ -367,19 +367,24 @@ def main() -> None:
         "run `python bench.py --scaling` for the live 8-vs-32-core "
         "measurement; full protocol + hardware calibration in BASELINE.md"
     )
-    # last measured --scaling result (2026-08-16, 4M rows / 1.17B tokens,
-    # warm runs, fresh JVM per level, best-of-2) — reproduced on demand:
-    # SPARK_GRAFT_TOKEN_ROWS=4000000 python bench.py --scaling
+    # last measured --scaling result (2026-08-17, 4M rows / 1.17B tokens,
+    # warm runs, fresh JVM per level, best-of-2, 3-point curve) — reproduced
+    # on demand: SPARK_GRAFT_TOKEN_ROWS=4000000 python bench.py --scaling
     result["scaling_last_measured"] = {
-        "local8_wall_sec": 52.85,
-        "local32_wall_sec": 36.0,
-        "local32_sequences_per_sec": 111114.6,
-        "speedup_8_to_32": 1.468,
-        "hardware_cpu_ceiling": 2.146,
-        "hardware_bandwidth_ceiling": 1.278,
-        "blended_ceiling": 1.562,
-        "efficiency_vs_blended_ceiling": 0.94,
-        "measured_at": "2026-08-16",
+        "local8_wall_sec": 45.12,
+        "local16_wall_sec": 35.26,
+        "local32_wall_sec": 23.51,
+        "local32_sequences_per_sec": 170164.6,
+        "local32_tokens_per_sec": 49755709.4,
+        "speedup_8_to_16": 1.28,
+        "speedup_8_to_32": 1.92,
+        "hardware_cpu_ceiling": 3.258,
+        "hardware_bandwidth_ceiling": 1.568,
+        "bandwidth_bound_fraction_alpha": 0.942,
+        "blended_ceiling": 1.616,
+        "efficiency_vs_blended_ceiling": 1.19,
+        "efficiency_vs_cpu_ceiling": 0.589,
+        "measured_at": "2026-08-17",
     }
     spark.stop()
     print(json.dumps(result))

@@ -255,9 +255,83 @@ class TestMultimodal:
             feats2.sort_values("doc_id").reset_index(drop=True),
         )
 
-    def test_real_decoder_is_marked_stub(self):
+    def test_compressed_codecs_gated(self):
         with pytest.raises(multimodal.DecoderUnavailable):
-            multimodal.decode_image_real(b"xx")
+            multimodal.decode_image_real(b"\x89PNG\r\n")  # PNG: no codec here
+
+    def test_real_ppm_roundtrip_and_resize(self):
+        rng = np.random.default_rng(4)
+        px = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+        payload = b"P6\n# a comment\n5 6\n255\n" + px.tobytes()
+        got = multimodal.decode_image_real(payload)
+        np.testing.assert_array_equal(got, px)
+        small = multimodal.resize_nearest(got, (3, 3))
+        assert small.shape == (3, 3, 3)
+        np.testing.assert_array_equal(small[0, 0], px[0, 0])  # NN keeps origin
+
+    def test_real_bmp24_roundtrip(self):
+        import struct
+
+        # hand-build a 2x2 uncompressed 24-bit BMP (bottom-up, BGR, padded)
+        px = np.array(
+            [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [10, 20, 30]]],
+            dtype=np.uint8,
+        )
+        rows = b""
+        for r in px[::-1]:          # bottom-up
+            line = bytes(int(v) for p in r for v in p[::-1])  # BGR
+            rows += line + b"\x00" * ((4 - len(line) % 4) % 4)
+        header = (
+            b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(rows), 0, 0, 0, 0)
+        )
+        got = multimodal.decode_image_real(header + rows)
+        np.testing.assert_array_equal(got, px)
+
+    def test_real_image_features_end_to_end(self, spark):
+        """extract_features with use_fake_decoder=False over REAL PPM
+        payloads — decode + resize + feature math all genuine."""
+        rows = [
+            (f"i{k}", "image", bytearray(multimodal.synth_ppm(16, 12, seed=k)),
+             (16, 12, None, None, "ppm"))
+            for k in range(6)
+        ]
+        media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+        feats = (
+            multimodal.extract_features(media, use_fake_decoder=False)
+            .toPandas().set_index("doc_id")
+        )
+        assert len(feats) == 6
+        # cross-check one row against a pure-numpy recomputation
+        px = multimodal.resize_nearest(
+            multimodal.decode_image_real(multimodal.synth_ppm(16, 12, seed=0)),
+            (8, 8),
+        ).astype(np.float32) / 255.0
+        assert feats.loc["i0", "feat_mean"] == pytest.approx(float(px.mean()))
+        assert feats.loc["i0", "feature"] == pytest.approx(
+            px.mean(axis=(0, 1)).tolist()
+        )
+
+    def test_real_wav_audio_features(self, spark):
+        """audio_features over REAL PCM WAV payloads: decode via stdlib wave,
+        rms/zero-crossing/duration verified against closed forms."""
+        rate = 8000
+        rows = [
+            ("a0", "audio", bytearray(multimodal.synth_wav(440.0, 0.5, rate)),
+             (None, None, rate, None, "wav")),
+            ("a1", "audio", bytearray(multimodal.synth_wav(55.0, 0.25, rate, seed=1)),
+             (None, None, rate, None, "wav")),
+            ("v0", "video", bytearray(b"notaudio"), (None, None, None, 10, "h264")),
+        ]
+        media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+        out = multimodal.audio_features(media).toPandas().set_index("doc_id")
+        assert set(out.index) == {"a0", "a1"}  # video row filtered out
+        assert out.loc["a0", "duration_sec"] == pytest.approx(0.5, abs=1e-3)
+        # 0.5-amplitude sine: rms ~ 0.5/sqrt(2) (plus 1% noise)
+        assert out.loc["a0", "rms"] == pytest.approx(0.3536, abs=0.01)
+        # 440 Hz sine at 8 kHz: ~2*440 sign flips/sec -> zcr ~ 0.11
+        assert out.loc["a0", "zero_crossing_rate"] == pytest.approx(0.11, abs=0.02)
+        assert out.loc["a1", "n_samples"] == rate // 4
 
     def test_frame_sampling_plan(self, spark):
         media = multimodal.synth_media_table(spark, n_rows=9)

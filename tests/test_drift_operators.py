@@ -287,6 +287,102 @@ class TestParallelPrefixSumPlans:
         plan = stats._jdf.queryExecution().executedPlan().toString()
         assert "Exchange SinglePartition" not in plan, plan
 
+    def test_selection_quantiles_match_numpy_and_sketch(self, spark):
+        """quantile_edges_selection == numpy percentile == the sketch path,
+        grouped and ungrouped, duplicates included."""
+        import pandas as pd
+
+        from aumos_drift_detector_spark.config import DEFAULT_CONFIG
+        from aumos_drift_detector_spark.operators.profile import quantile_edges
+
+        rng = np.random.default_rng(23)
+        vals = np.round(rng.lognormal(2, 1, 20000), 1)  # heavy duplication
+        g = np.repeat(["a", "b"], 10000)
+        df = spark.createDataFrame(pd.DataFrame({"g": g, "value": vals}))
+
+        sel = drift.quantile_edges_selection(
+            df, "value", 10, ("g",), DEFAULT_CONFIG
+        ).toPandas().set_index("g")
+        sk = quantile_edges(df, "value", 10, ("g",), DEFAULT_CONFIG).toPandas(
+        ).set_index("g")
+        for grp in ("a", "b"):
+            sub = vals[g == grp]
+            want = np.percentile(sub, np.linspace(0, 100, 11))
+            assert np.asarray(sel.loc[grp, "edges"]) == pytest.approx(
+                want.tolist(), abs=1e-12
+            )
+            assert np.asarray(sel.loc[grp, "edges"]) == pytest.approx(
+                np.asarray(sk.loc[grp, "edges"]).tolist(), abs=0
+            )
+            assert sel.loc[grp, "ref_count"] == 10000
+            assert sel.loc[grp, "ref_distinct"] == len(np.unique(sub))
+        # ungrouped
+        sel1 = drift.quantile_edges_selection(
+            df, "value", 4, (), DEFAULT_CONFIG
+        ).collect()[0]
+        assert list(sel1["edges"]) == pytest.approx(
+            np.percentile(vals, [0, 25, 50, 75, 100]).tolist(), abs=1e-12
+        )
+
+    def test_selection_quantiles_tiny_group(self, spark):
+        from aumos_drift_detector_spark.config import DEFAULT_CONFIG
+
+        df = spark.createDataFrame([(5.0,)], ["value"])
+        row = drift.quantile_edges_selection(
+            df, "value", 10, (), DEFAULT_CONFIG
+        ).collect()[0]
+        assert list(row["edges"]) == [5.0] * 11  # n=1: every quantile = v
+
+    def test_psi_selection_plan_identical_verdict(self, spark, ):
+        import pandas as pd
+
+        from aumos_drift_detector_spark.config import EngineConfig
+
+        rng = np.random.default_rng(31)
+        ref = spark.createDataFrame(
+            pd.DataFrame({"value": rng.normal(10, 3, 8000)})
+        )
+        prod = spark.createDataFrame(
+            pd.DataFrame({"value": rng.normal(11, 3.5, 8000)})
+        )
+        base = drift.psi_test(ref, prod, "value")
+        sel = drift.psi_test(
+            ref, prod, "value",
+            config=EngineConfig(exact_quantile_plan="selection"),
+        )
+        # edges agree to the last ulp of lerp arithmetic (Spark's internal
+        # percentile accumulates positions in a different order), so scores
+        # agree to float noise unless a data value sits exactly on a boundary
+        assert sel.score == pytest.approx(base.score, rel=1e-9)
+        assert sel.is_drifted == base.is_drifted
+        assert sel.details["bin_edges"] == pytest.approx(
+            base.details["bin_edges"], rel=1e-13
+        )
+
+    def test_selection_quantile_data_path_no_single_partition(self, spark):
+        """The grouped data-proportional half of the selection-quantile plan
+        (per-value sketch -> parallel prefix sums) must stay free of
+        single-reducer exchanges, matching the KS/W1 contract. (Ungrouped,
+        the only SinglePartition sits above the <= n_ranges chunk-totals
+        rows — bytes, the documented benign case.)"""
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from aumos_drift_detector_spark.operators.profile import clean_values
+
+        rng = np.random.default_rng(5)
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"g": np.repeat(["a", "b"], 1000), "value": rng.normal(0, 1, 2000)}
+            )
+        )
+        per_value = clean_values(df, "value", ("g",)).groupBy("g", "v").agg(
+            F.count("v").alias("cnt")
+        )
+        cum = drift._cumulative_per_value(per_value, ("g",), ["cnt"])
+        plan = cum._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange SinglePartition" not in plan, plan
+
     def test_chi2_topk_guard_has_no_single_partition_exchange(self, spark):
         """The UNGROUPED chi2 category guard must rank within shuffle
         partitions (window keyed by spark_partition_id), never via a global
