@@ -433,6 +433,80 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hellinger_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 GROUPED: hellinger per document language — hard-verifies the
+    grouped two-sample path (one job, every group) against per-group SQL."""
+    from aumos_drift_detector_spark.operators.drift import hellinger_test_grouped
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.where(F.col("source") == "src0")
+    prod = docs.where(F.col("source") == "src1")
+    frame = hellinger_test_grouped(ref, prod, "n_chars", ("lang",))
+    rows = sorted(
+        (
+            str(r["lang"]),
+            round(float(r["score"]), 6),
+            bool(r["is_drifted"]),
+            int(r["reference_size"]),
+            int(r["production_size"]),
+        )
+        for _, r in frame.iterrows()
+        if r["error"] is None
+    )
+    return spark.createDataFrame(
+        rows, "lang string, score double, is_drifted boolean, n_ref long, n_prod long"
+    )
+
+
+def _q_profile_by_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 GROUPED: wide profile per customer segment (one aggregation)."""
+    from aumos_drift_detector_spark.operators.profile import profile_columns
+
+    cust = _t(spark, sf_dir, "customer")
+    prof = profile_columns(cust, ["c_acctbal"], ("c_mktsegment",))
+    return prof.select(
+        "c_mktsegment",
+        F.col("count").alias("cnt"),
+        F.round("mean", 4).alias("mean"),
+        F.round("std", 4).alias("std"),
+        F.round("median", 4).alias("median"),
+        F.round("percentile_95", 4).alias("p95"),
+        "unique_count",
+        "total_rows",
+    ).orderBy("c_mktsegment")
+
+
+def _q_ols_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 GROUPED: closed-form OLS per event_type in one aggregation."""
+    from aumos_drift_detector_spark.operators.trend import ols_by_key
+
+    ev = _t(spark, sf_dir, "events")
+    out = ols_by_key(ev, ["event_type"], "event_id", "value")
+    return out.select(
+        "event_type",
+        "n",
+        F.round("slope", 8).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+    ).orderBy("event_type")
+
+
+def _q_selection_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 via the DISTRIBUTED selection plan: exact quantile edges computed
+    with parallel prefix sums + broadcast rank join (no single-reducer
+    percentile buffer) — hard-verified against DuckDB quantile_cont."""
+    from aumos_drift_detector_spark.config import DEFAULT_CONFIG
+    from aumos_drift_detector_spark.operators.drift import quantile_edges_selection
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = quantile_edges_selection(li, "l_extendedprice", 10, (), DEFAULT_CONFIG)
+    return (
+        edges.select(F.posexplode("edges").alias("bin_idx", "edge"))
+        .select("bin_idx", F.round("edge", 6).alias("edge"))
+        .orderBy("bin_idx")
+    )
+
+
 def _q_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W6: CUSUM change points per event_type — rows-only (sequential)."""
     from aumos_drift_detector_spark.operators.concept import cusum_grouped
@@ -701,6 +775,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_orderpriority": _q_chi2_stat,               # T3/J1
         "js_nchars": _q_js_nchars,                        # T4
         "hellinger_nchars": _q_hellinger_nchars,          # T5
+        "hellinger_by_lang": _q_hellinger_by_lang,        # T5 grouped
+        "profile_by_mktsegment": _q_profile_by_mktsegment,  # A1 grouped
+        "ols_by_event_type": _q_ols_by_event_type,        # A14 grouped
+        "selection_quantiles": _q_selection_quantiles,    # A3 distributed plan
         "wasserstein_extendedprice": _q_wasserstein_extendedprice,  # T6
         "histogram_acctbal": _q_histogram_acctbal,        # A2
         "topk_users": _q_topk_users,                      # W4
@@ -947,6 +1025,82 @@ GROUP BY l_partkey
         "ks_extendedprice": _KS_SQL,
         "js_nchars": _JS_HELLINGER_TEMPLATE.format(score_expr=_JS_SCORE),
         "hellinger_nchars": _JS_HELLINGER_TEMPLATE.format(score_expr=_HELLINGER_SCORE),
+        # grouped hellinger: the ungrouped template's math replayed per lang
+        # (per-group shared-range 20-bin histogram, +1e-10 floor, normalize)
+        "hellinger_by_lang": """
+WITH both_sides AS (
+  SELECT lang, CAST(n_chars AS DOUBLE) AS v, 0 AS side
+  FROM documents WHERE source = 'src0'
+  UNION ALL
+  SELECT lang, CAST(n_chars AS DOUBLE) AS v, 1 AS side
+  FROM documents WHERE source = 'src1'),
+rng AS (SELECT lang, min(v) AS lo, max(v) AS hi FROM both_sides GROUP BY lang),
+binned AS (
+  SELECT b.lang, b.side,
+         CASE WHEN r.hi = r.lo THEN 0
+              WHEN b.v = r.hi THEN 19
+              ELSE least(CAST(floor((b.v - r.lo) / ((r.hi - r.lo) / 20.0)) AS INT), 19)
+         END AS bin,
+         count(*) AS c
+  FROM both_sides b JOIN rng r USING (lang) GROUP BY 1, 2, 3),
+grid AS (SELECT lang, b
+         FROM (SELECT DISTINCT lang FROM both_sides), (SELECT unnest(range(20)) AS b)),
+cts AS (
+  SELECT g.lang, g.b,
+         coalesce(br.c, 0) + 1e-10 AS rc,
+         coalesce(bp.c, 0) + 1e-10 AS pc
+  FROM grid g
+  LEFT JOIN (SELECT lang, bin, c FROM binned WHERE side = 0) br
+         ON br.lang = g.lang AND br.bin = g.b
+  LEFT JOIN (SELECT lang, bin, c FROM binned WHERE side = 1) bp
+         ON bp.lang = g.lang AND bp.bin = g.b),
+norm AS (SELECT lang,
+                rc / sum(rc) OVER (PARTITION BY lang) AS p,
+                pc / sum(pc) OVER (PARTITION BY lang) AS q
+         FROM cts),
+scores AS (SELECT lang,
+                  sqrt(greatest(0.0, sum(pow(sqrt(p) - sqrt(q), 2)) / 2.0)) AS s
+           FROM norm GROUP BY lang),
+sizes AS (SELECT lang,
+                 sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)::BIGINT AS n_ref,
+                 sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)::BIGINT AS n_prod
+          FROM both_sides GROUP BY lang)
+SELECT z.lang, round(sc.s, 6) AS score, sc.s > 0.1 AS is_drifted,
+       z.n_ref, z.n_prod
+FROM scores sc JOIN sizes z USING (lang)
+WHERE z.n_ref > 0 AND z.n_prod > 0
+ORDER BY z.lang
+""",
+        "profile_by_mktsegment": """
+SELECT c_mktsegment,
+       count(c_acctbal) AS cnt,
+       round(avg(c_acctbal), 4) AS mean,
+       round(stddev_pop(c_acctbal), 4) AS std,
+       round(quantile_cont(c_acctbal, 0.50), 4) AS median,
+       round(quantile_cont(c_acctbal, 0.95), 4) AS p95,
+       count(DISTINCT c_acctbal) AS unique_count,
+       count(*) AS total_rows
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+        "ols_by_event_type": """
+SELECT event_type,
+       count(value) AS n,
+       round(covar_pop(CAST(event_id AS DOUBLE), value)
+             / var_pop(CAST(event_id AS DOUBLE)), 8) AS slope,
+       round(avg(value) - covar_pop(CAST(event_id AS DOUBLE), value)
+             / var_pop(CAST(event_id AS DOUBLE)) * avg(CAST(event_id AS DOUBLE)), 6)
+         AS intercept,
+       round(pow(corr(CAST(event_id AS DOUBLE), value), 2), 6) AS r2
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+        "selection_quantiles": """
+WITH q AS (SELECT quantile_cont(l_extendedprice,
+             [0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0]) AS edges
+           FROM lineitem)
+SELECT (i - 1)::INTEGER AS bin_idx, round(edges[i], 6) AS edge
+FROM q, generate_series(1, 11) AS t(i)
+ORDER BY bin_idx
+""",
         "wasserstein_extendedprice": _WASSERSTEIN_SQL,
         "histogram_acctbal": _HISTOGRAM_SQL,
         "topk_users": """
