@@ -338,7 +338,10 @@ def _q_adwin_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_mmd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MMD^2 between label groups — rows-only check (kernel math not SQL-expressible)."""
+    """T8: MMD^2 between label groups — ORACLE-checked at sf0.01: both sides
+    (~50 rows) sit under the sampling caps, so the unbiased RBF U-statistic
+    and the median-heuristic bandwidth are closed-form and DuckDB re-derives
+    them with list_dot_product cross joins (round-6 parity)."""
     from aumos_drift_detector_spark.operators.mmd import mmd_test
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1319,11 +1322,45 @@ SELECT event_type, step::INTEGER AS step,
        FALSE AS crosses_threshold
 FROM fc
 """,
-        # adwin_events, mmd_embeddings, minhash_pairs, simhash_pairs,
+        # T8: at sf0.01 both label groups are under the 1000-row sample cap
+        # and the 500-row median-heuristic cap, so NO seeded sampling fires:
+        # MMD^2 is the deterministic unbiased RBF U-statistic
+        # (sum K_xx/(n(n-1)) + sum K_yy/(m(m-1)) - 2 mean K_xy, diagonals
+        # excluded) with sigma^2 = median positive pairwise squared distance
+        # over the combined set — exactly operators/mmd.py, in SQL.
+        "mmd_embeddings": """
+WITH ref AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE label = 0),
+prod AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE label = 1),
+allp AS (SELECT vec_id, e FROM ref UNION ALL SELECT vec_id, e FROM prod),
+sq_all AS (
+  SELECT list_dot_product(a.e, a.e) + list_dot_product(b.e, b.e)
+         - 2 * list_dot_product(a.e, b.e) AS sq
+  FROM allp a, allp b),
+bw AS (SELECT greatest(quantile_cont(sq, 0.5), 1e-6) AS b FROM sq_all WHERE sq > 0),
+kxx AS (SELECT sum(exp(-(list_dot_product(a.e, a.e) + list_dot_product(b.e, b.e)
+                         - 2 * list_dot_product(a.e, b.e)) / (2 * (SELECT b FROM bw)))) AS s
+        FROM ref a, ref b WHERE a.vec_id <> b.vec_id),
+kyy AS (SELECT sum(exp(-(list_dot_product(a.e, a.e) + list_dot_product(b.e, b.e)
+                         - 2 * list_dot_product(a.e, b.e)) / (2 * (SELECT b FROM bw)))) AS s
+        FROM prod a, prod b WHERE a.vec_id <> b.vec_id),
+kxy AS (SELECT avg(exp(-(list_dot_product(a.e, a.e) + list_dot_product(b.e, b.e)
+                         - 2 * list_dot_product(a.e, b.e)) / (2 * (SELECT b FROM bw)))) AS s
+        FROM ref a, prod b),
+nm AS (SELECT (SELECT count(*) FROM ref) AS n, (SELECT count(*) FROM prod) AS m)
+SELECT 'embedding' AS feature,
+       round((SELECT s FROM kxx) / ((SELECT n FROM nm) * ((SELECT n FROM nm) - 1))
+           + (SELECT s FROM kyy) / ((SELECT m FROM nm) * ((SELECT m FROM nm) - 1))
+           - 2 * (SELECT s FROM kxy), 6) AS score,
+       ((SELECT s FROM kxx) / ((SELECT n FROM nm) * ((SELECT n FROM nm) - 1))
+           + (SELECT s FROM kyy) / ((SELECT m FROM nm) * ((SELECT m FROM nm) - 1))
+           - 2 * (SELECT s FROM kxy)) > 0.05 AS is_drifted,
+       (SELECT n FROM nm)::BIGINT AS n_ref,
+       (SELECT m FROM nm)::BIGINT AS n_prod
+""",
+        # adwin_events, minhash_pairs, simhash_pairs,
         # cusum_events, cbpe_estimate, dle_loss,
         # embedding_neardup, multivariate_drift: rows-only (sequential state
-        # machines, kernel matrices, seeded GBT/bootstrap/SVD, engine-specific
-        # hash constants)
+        # machines, seeded GBT/bootstrap/SVD, engine-specific hash constants)
     }
 
 
