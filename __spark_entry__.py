@@ -1032,11 +1032,13 @@ GROUP BY l_partkey
         # (per-group shared-range 20-bin histogram, +1e-10 floor, normalize)
         "hellinger_by_lang": """
 WITH both_sides AS (
+  -- n_chars IS NOT NULL mirrors the engine's clean_values drop, so the
+  -- n_ref/n_prod sizes stay parity-exact if the column ever gains NULLs
   SELECT lang, CAST(n_chars AS DOUBLE) AS v, 0 AS side
-  FROM documents WHERE source = 'src0'
+  FROM documents WHERE source = 'src0' AND n_chars IS NOT NULL
   UNION ALL
   SELECT lang, CAST(n_chars AS DOUBLE) AS v, 1 AS side
-  FROM documents WHERE source = 'src1'),
+  FROM documents WHERE source = 'src1' AND n_chars IS NOT NULL),
 rng AS (SELECT lang, min(v) AS lo, max(v) AS hi FROM both_sides GROUP BY lang),
 binned AS (
   SELECT b.lang, b.side,

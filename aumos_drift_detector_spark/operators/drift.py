@@ -723,51 +723,72 @@ def wasserstein_test(ref_df, prod_df, column, threshold=None,
 # Chi-squared (categorical)
 # ---------------------------------------------------------------------------
 
-def _merge_topk_tail(
-    cand_pdf: pd.DataFrame,
-    tail_pdf: pd.DataFrame,
-    group_cols: list,
-    cap: int,
-) -> pd.DataFrame:
-    """Phase-2 merge of the distributed chi2 top-K: pick the global top-``cap``
-    per group from the per-partition candidates (bounded: <= partitions x cap
-    rows/group) and fold everything else into one ``__other__`` tail row per
-    group alongside the pre-aggregated per-partition tails.
+def _guarded_category_counts(
+    per_cat: DataFrame, group_cols: Sequence[str], cap: int
+) -> DataFrame:
+    """Two-phase distributed top-K over per-(group, v) count rows.
+
+    Phase 1 ranks WITHIN each shuffle partition (parallel window keyed by
+    spark_partition_id — a row outside its partition's top-K cannot be in
+    the global top-K under the strict (count desc, value asc) total order)
+    and pre-aggregates each partition's tail. Phase 2 ranks the surviving
+    candidates globally; that window's exchange moves <= partitions x cap
+    rows per group — BOUNDED by construction, never data-proportional —
+    and its losers fold into the tail. One plan, one action: both phases
+    consume the same ranked subtree, so the per-category aggregation is
+    computed once (exchange reuse). Output: (group..., _is_other, v,
+    c_ref, c_prod, n_cats) — exactly groups x (cap + 1) rows.
     """
-    key = group_cols or ["__g"]
-    if not group_cols:
-        cand_pdf = cand_pdf.assign(__g=0)
-        tail_pdf = tail_pdf.assign(__g=0)
-    cand_pdf = cand_pdf.assign(
-        _tot=cand_pdf["c_ref"] + cand_pdf["c_prod"]
-    ).sort_values(
-        key + ["_tot", "v"], ascending=[True] * len(key) + [False, True],
-        kind="mergesort",
+    gcols = [F.col(g) for g in group_cols]
+    order = [F.desc(F.col("c_ref") + F.col("c_prod")), F.col("v")]
+    w_local = Window.partitionBy(*gcols, F.col("_pid")).orderBy(*order)
+    ranked = per_cat.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_lr", F.row_number().over(w_local)
     )
-    kept = cand_pdf.groupby(key, sort=False).head(cap)
-    overflow = cand_pdf.drop(kept.index)
-    tails = [tail_pdf[key + ["c_ref", "c_prod", "n_cats"]]]
-    if not overflow.empty:
-        tails.append(
-            overflow.groupby(key, as_index=False).agg(
-                c_ref=("c_ref", "sum"),
-                c_prod=("c_prod", "sum"),
-                n_cats=("v", "count"),
-            )
+    cand = ranked.where(F.col("_lr") <= cap)
+    w_global = Window.partitionBy(*gcols).orderBy(*order)
+    graded = cand.withColumn("_gr", F.row_number().over(w_global))
+    kept = graded.where(F.col("_gr") <= cap).select(
+        *group_cols,
+        F.lit(False).alias("_is_other"),
+        F.col("v"),
+        F.col("c_ref"),
+        F.col("c_prod"),
+        F.lit(1).cast("long").alias("n_cats"),
+    )
+    v_type = per_cat.schema["v"].dataType
+    tail = (
+        ranked.where(F.col("_lr") > cap)
+        .select(*group_cols, "c_ref", "c_prod")
+        .unionByName(
+            graded.where(F.col("_gr") > cap).select(*group_cols, "c_ref", "c_prod")
         )
-    tail_all = pd.concat(tails, ignore_index=True)
-    tail_all = (
-        tail_all.groupby(key, as_index=False).sum()
-        if not tail_all.empty
-        else tail_all
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("c_ref").alias("c_ref"),
+            F.sum("c_prod").alias("c_prod"),
+            F.count(F.lit(1)).alias("n_cats"),
+        )
+        # an ungrouped global agg over EMPTY input still emits one
+        # (NULL, NULL, 0) row — drop it
+        .where(F.col("n_cats") > 0)
+        .select(
+            *group_cols,
+            F.lit(True).alias("_is_other"),
+            F.lit(None).cast(v_type).alias("v"),
+            F.col("c_ref"),
+            F.col("c_prod"),
+            F.col("n_cats"),
+        )
     )
-    tail_all = tail_all[tail_all.get("n_cats", pd.Series(dtype=np.int64)) > 0]
-    kept = kept.drop(columns=["_tot"]).assign(_is_other=False, n_cats=1)
-    tail_all = tail_all.assign(_is_other=True, v=None)
-    pdf = pd.concat([kept, tail_all], ignore_index=True)
-    if not group_cols and "__g" in pdf.columns:
-        pdf = pdf.drop(columns=["__g"])
-    return pdf
+    return kept.unionByName(tail)
+
+
+def _key_mask(sub: pd.DataFrame, g: str, kv):
+    """NULL-safe group-key equality for the pandas finalize (NaN != NaN)."""
+    if kv is None or (isinstance(kv, float) and np.isnan(kv)):
+        return sub[g].isna()
+    return sub[g] == kv
 
 
 def chi2_test_grouped(
@@ -786,16 +807,15 @@ def chi2_test_grouped(
 
     Driver-memory guard: only the top ``config.chi2_max_categories``
     categories per group (by pooled count, ties broken by value) collect
-    individually; the tail collapses into one logged ``__other__`` bucket.
-    The top-K itself is two-phase distributed: a window keyed by
-    (group, shuffle-partition-id) ranks candidates WITHIN each partition in
-    parallel (never a single-reducer global window — a row outside its
-    partition's top-K cannot be in the global top-K under the strict
-    (count desc, value asc) total order), each partition's tail pre-aggregates
-    to one row, and the global merge runs on the driver over the bounded
-    candidate set (<= shuffle_partitions x K rows per group). Under the cap
-    the result is identical to the unguarded test. For domains where even the
-    distinct set is huge (e.g. token ids) use the fixed-domain binned path
+    individually; the tail collapses into one logged ``__other__`` bucket,
+    so the collect stays O(groups x K) regardless of column cardinality.
+    The top-K is two-phase distributed (``_guarded_category_counts``): a
+    parallel per-shuffle-partition rank prunes the data-proportional set,
+    then a bounded global rank (<= partitions x K rows per group through
+    its exchange) picks the winners — never a window over all distinct
+    values, one Spark action end-to-end. Under the cap the result is
+    identical to the unguarded test. For domains where even the distinct
+    set is huge (e.g. token ids) use the fixed-domain binned path
     (``histogram_kernel_from_counts``) instead.
     """
     threshold = config.chi2_threshold if threshold is None else threshold
@@ -808,24 +828,7 @@ def chi2_test_grouped(
         F.sum(F.when(F.col("side") == _REF, 1).otherwise(0)).alias("c_ref"),
         F.sum(F.when(F.col("side") == _PROD, 1).otherwise(0)).alias("c_prod"),
     )
-    w_local = Window.partitionBy(
-        *[F.col(g) for g in group_cols], F.col("_pid")
-    ).orderBy(F.desc(F.col("c_ref") + F.col("c_prod")), F.col("v"))
-    ranked = per_cat.withColumn("_pid", F.spark_partition_id()).withColumn(
-        "_lr", F.row_number().over(w_local)
-    )
-    cand_pdf = ranked.filter(F.col("_lr") <= cap).drop("_pid", "_lr").toPandas()
-    tail_pdf = (
-        ranked.filter(F.col("_lr") > cap)
-        .groupBy(*group_cols)
-        .agg(
-            F.sum("c_ref").alias("c_ref"),
-            F.sum("c_prod").alias("c_prod"),
-            F.count(F.lit(1)).alias("n_cats"),
-        )
-        .toPandas()
-    )
-    pdf = _merge_topk_tail(cand_pdf, tail_pdf, list(group_cols), cap)
+    pdf = _guarded_category_counts(per_cat, group_cols, cap).toPandas()
     # preserve the reference's python str() coercion for kept categories
     pdf["v"] = np.where(
         pdf["_is_other"], "__other__", pdf["v"].astype(str)
@@ -839,7 +842,7 @@ def chi2_test_grouped(
     for key in keys:
         sub = pdf
         for g, kv in zip(group_cols, key):
-            sub = sub[sub[g] == kv]
+            sub = sub[_key_mask(sub, g, kv)]
         ref_counts = dict(zip(sub["v"], sub["c_ref"]))
         prod_counts = dict(zip(sub["v"], sub["c_prod"]))
         cats = sorted(k for k in set(ref_counts) | set(prod_counts))

@@ -176,12 +176,18 @@ def build_heatmap(
 ) -> dict | None:
     """Feature x time drift-score heatmap payload (report_generator.py:635-688).
 
-    Without history: one "now" column from the run's drift rows. With
-    ``history_df`` (feature, ts, score — i.e. the results table over past
-    runs): the full matrix, missing cells filled 0.0 like the reference.
-    The pivot collects only (features x timestamps) cells — a visualization
-    payload is driver-sized by definition; the grouping that produces it is
-    distributed.
+    Without history (or with an EMPTY history frame): one "now" column from
+    the run's drift rows. With ``history_df`` (feature, ts, score — i.e. the
+    results table over past runs): the full matrix, missing cells filled 0.0
+    like the reference. The pivot collects only (features x timestamps)
+    cells — a visualization payload is driver-sized by definition; the
+    grouping that produces it is distributed.
+
+    ``threshold`` follows the reference's (arbitrary) choice of the FIRST
+    result row's threshold (report_generator.py:651: feature_results[0]);
+    since runs can mix tests with different thresholds, the payload also
+    carries a per-feature ``thresholds`` list for renderers that want the
+    accurate per-row line.
     """
     rows = (
         results_df.where((F.col("run_id") == run_id) & F.col("is_drifted").isNotNull())
@@ -198,23 +204,30 @@ def build_heatmap(
     features = [str(r[feature_col]) for r in rows]
     thr = rows[0]["threshold"]
     threshold = float(thr) if thr is not None and thr == thr else default_threshold
-
-    if history_df is None:
-        return {
-            "features": features,
-            "time_labels": ["now"],
-            "scores_matrix": [[float(r["score"] or 0.0)] for r in rows],
-            "threshold": threshold,
-        }
+    per_feature_thr = [
+        float(r["threshold"])
+        if r["threshold"] is not None and r["threshold"] == r["threshold"]
+        else default_threshold
+        for r in rows
+    ]
 
     hist = (
         history_df.groupBy(feature_col, "ts")
         .agg(F.max("score").alias("score"))
         .collect()
+        if history_df is not None
+        else []
     )
     stamps = sorted({r["ts"] for r in hist})
     if not stamps:
-        return None
+        # no usable history (None OR empty frame): single current column
+        return {
+            "features": features,
+            "time_labels": ["now"],
+            "scores_matrix": [[float(r["score"] or 0.0)] for r in rows],
+            "threshold": threshold,
+            "thresholds": per_feature_thr,
+        }
     cells = {(str(r[feature_col]), r["ts"]): float(r["score"] or 0.0) for r in hist}
     return {
         "features": features,
@@ -223,6 +236,7 @@ def build_heatmap(
             [cells.get((f, ts), 0.0) for ts in stamps] for f in features
         ],
         "threshold": threshold,
+        "thresholds": per_feature_thr,
     }
 
 

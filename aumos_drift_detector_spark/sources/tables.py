@@ -35,12 +35,26 @@ class TableFormatUnavailable(RuntimeError):
 
 def _iceberg_available(spark: SparkSession) -> bool:
     try:
-        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
-            "org.apache.iceberg.spark.source.IcebergSource"
+        # Spark's own classloader-aware lookup: jars added via --jars land in
+        # the MutableURLClassLoader, which a bare java.lang.Class.forName
+        # (gateway default loader) would miss
+        spark._jvm.org.apache.spark.util.Utils.classForName(  # type: ignore[union-attr]
+            "org.apache.iceberg.spark.source.IcebergSource", False, False
         )
         return True
     except Exception:
         return False
+
+
+def _looks_like_table_identifier(location: str) -> bool:
+    """catalog.db.table-shaped (dotted, no path separators) — the only
+    location shape 'auto' will ever route to a catalog read."""
+    return (
+        "/" not in location
+        and "\\" not in location
+        and "." in location
+        and not location.endswith((".parquet", ".pq"))
+    )
 
 
 def read_sequences(
@@ -58,9 +72,12 @@ def read_sequences(
     manifest uses to skip completed partitions without re-scanning them.
     """
     if fmt == "auto":
+        # only dotted catalog identifiers route to iceberg — a bare relative
+        # directory name must stay a parquet path read even when the
+        # iceberg jar happens to be on the cluster
         fmt = (
             "iceberg"
-            if ("/" not in location and _iceberg_available(spark))
+            if (_looks_like_table_identifier(location) and _iceberg_available(spark))
             else "parquet"
         )
     if fmt == "iceberg":

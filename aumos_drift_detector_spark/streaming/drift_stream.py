@@ -148,12 +148,16 @@ def drift_foreach_batch(
             )
         if sink is not None and out:
             sink(pd.DataFrame(out), batch_id)
-        # evict oldest windows beyond the tracking cap (closed long ago;
-        # update mode will never touch them again once past the watermark)
-        if len(state) > max_tracked_windows:
-            for old in sorted(state, key=lambda k: k[0])[
-                : len(state) - max_tracked_windows
-            ]:
-                del state[old]
+        # evict WHOLE oldest windows beyond the tracking cap (closed long
+        # ago; update mode will never touch them again once past the
+        # watermark). The cap counts distinct WINDOWS, not (window, group)
+        # entries — evicting by entry could strip groups out of a window
+        # that is still receiving micro-batches, silently zeroing part of
+        # its cumulative histogram.
+        starts = sorted({k[0] for k in state})
+        if len(starts) > max_tracked_windows:
+            evict = set(starts[: len(starts) - max_tracked_windows])
+            for k in [k for k in state if k[0] in evict]:
+                del state[k]
 
     return for_each

@@ -293,19 +293,20 @@ def main() -> None:
         # Blended Amdahl ceiling: the validation pass streams ~3x more bytes
         # (parquet decode + 2.3B-row token explode) than it crunches, so its
         # deliverable ceiling on ONE socket mixes the bandwidth and compute
-        # ceilings. alpha = fraction of the 8-core run's serialized job wall
-        # spent in the bandwidth-bound stages, MEASURED per run from the
-        # engine's per-job walls (token histogram explode+scan, violation
-        # scan+write) rather than asserted.
+        # ceilings. alpha = MEASURED fraction of the 8-core batch wall
+        # spanned by the dominant bandwidth-bound stage (the token-histogram
+        # explode+scan). Jobs run CONCURRENTLY under FAIR scheduling, so
+        # summing their overlapping walls would double-count wait time; the
+        # single-stage span over the batch wall is the defensible measured
+        # weight (the other bandwidth-bound job, the violation scan+write,
+        # runs almost entirely inside that span).
         walls8 = runs[8].get("job_walls", {})
-        stage_walls = {
-            k: v for k, v in walls8.items() if not k.startswith("_")
-        }
-        bw_bound = sum(
-            v for k, v in stage_walls.items() if k in ("token_hist", "violations")
+        batch_wall = walls8.get("_batch_wall", 0.0)
+        alpha = (
+            round(min(walls8.get("token_hist", 0.0) / batch_wall, 1.0), 3)
+            if batch_wall
+            else 0.55
         )
-        total_stage = sum(stage_walls.values())
-        alpha = round(bw_bound / total_stage, 3) if total_stage else 0.55
         blended = 1.0 / (alpha / bw + (1.0 - alpha) / hw)
         result["scaling"] = {
             "local8": runs[8],
@@ -324,7 +325,7 @@ def main() -> None:
             "hardware_bandwidth_speedup_8_to_32": round(bw, 3),
             "blended_ceiling_8_to_32": round(blended, 3),
             "bandwidth_bound_fraction_alpha": alpha,
-            "alpha_source": "measured: (token_hist+violations)/sum(job walls) at 8 cores",
+            "alpha_source": "measured: token_hist stage span / batch wall at 8 cores (concurrent job walls overlap; a ratio of sums would double-count)",
             "efficiency_vs_cpu_ceiling": round(speedup / hw, 3),
             "efficiency_vs_blended_ceiling": round(speedup / blended, 3),
             "repeats": repeats,
@@ -337,9 +338,10 @@ def main() -> None:
     spark = make_session(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Headline queries FIRST (median-of-3, fresh JVM): timing them after the
-    # validation passes measured post-pass JVM state, not the queries (the
-    # r2 regression — profile_customer 1.29->5.58s etc. with unchanged plans)
+    # Headline queries FIRST (min of 3 interleaved sweeps, fresh JVM):
+    # timing them after the validation passes measured post-pass JVM state,
+    # not the queries (the r2 regression — profile_customer 1.29->5.58s
+    # etc. with unchanged plans)
     qtimes = bench_queries(spark)
 
     out = os.path.join(BENCH_DATA, "out_bench")
@@ -380,9 +382,11 @@ def main() -> None:
         "speedup_8_to_32": 1.92,
         "hardware_cpu_ceiling": 3.258,
         "hardware_bandwidth_ceiling": 1.568,
-        "bandwidth_bound_fraction_alpha": 0.942,
-        "blended_ceiling": 1.616,
-        "efficiency_vs_blended_ceiling": 1.19,
+        # alpha = token_hist stage span / batch wall at 8 cores
+        # (42.52 s / 44.34 s) — NOT a sum of overlapping concurrent walls
+        "bandwidth_bound_fraction_alpha": 0.959,
+        "blended_ceiling": 1.602,
+        "efficiency_vs_blended_ceiling": 1.2,
         "efficiency_vs_cpu_ceiling": 0.589,
         "measured_at": "2026-08-17",
     }

@@ -383,6 +383,70 @@ class TestParallelPrefixSumPlans:
         plan = cum._jdf.queryExecution().executedPlan().toString()
         assert "Exchange SinglePartition" not in plan, plan
 
+    @pytest.mark.parametrize("seed,cap,n_cats", [(0, 5, 40), (1, 1, 15), (2, 12, 12)])
+    def test_guarded_counts_equal_direct_topk(self, spark, seed, cap, n_cats):
+        """_guarded_category_counts == direct global top-K + tail collapse,
+        across cap<n_cats, cap=1, and cap>=n_cats (no tail) regimes."""
+        import pandas as pd
+
+        rng = np.random.default_rng(seed)
+        cats = pd.DataFrame({
+            "v": [f"c{i:03d}" for i in range(n_cats)],
+            "c_ref": rng.integers(0, 500, n_cats),
+            "c_prod": rng.integers(0, 500, n_cats),
+        })
+        per_cat = spark.createDataFrame(cats).repartition(7)  # many partitions
+        got = drift._guarded_category_counts(per_cat, (), cap).toPandas()
+
+        ordered = cats.assign(_t=cats.c_ref + cats.c_prod).sort_values(
+            ["_t", "v"], ascending=[False, True], kind="mergesort")
+        want_kept, want_rest = ordered.head(cap), ordered.iloc[cap:]
+        got_kept = got[~got["_is_other"]]
+        assert sorted(got_kept["v"]) == sorted(want_kept["v"])
+        assert (
+            got_kept.set_index("v")["c_ref"].astype(int).to_dict()
+            == want_kept.set_index("v")["c_ref"].astype(int).to_dict()
+        )
+        got_tail = got[got["_is_other"]]
+        if want_rest.empty:
+            assert got_tail.empty
+        else:
+            assert len(got_tail) == 1
+            assert int(got_tail["c_ref"].iloc[0]) == int(want_rest["c_ref"].sum())
+            assert int(got_tail["n_cats"].iloc[0]) == len(want_rest)
+
+    def test_guarded_counts_single_action_reuses_aggregation(self, spark):
+        """Both top-K phases must consume ONE per-category aggregation —
+        the plan reuses the exchange instead of re-scanning the input."""
+        import pandas as pd
+
+        per_cat = spark.createDataFrame(
+            pd.DataFrame({"v": ["a", "b", "c"], "c_ref": [3, 2, 1],
+                          "c_prod": [1, 1, 1]})
+        ).repartition(3)
+        out = drift._guarded_category_counts(per_cat, (), 2)
+        out.collect()  # AQE decides reuse at runtime: inspect the FINAL plan
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "ReusedExchange" in plan, plan
+
+    def test_chi2_null_group_key_gets_its_own_verdict(self, spark):
+        """NULL group keys must not vanish from the grouped verdict frame
+        (pandas NaN != NaN in the finalize)."""
+        import pandas as pd
+
+        rows = [("x", "A")] * 30 + [("x", "B")] * 20 + \
+               [(None, "A")] * 25 + [(None, "C")] * 25
+        df = spark.createDataFrame(rows, "g string, c string")
+        out = drift.chi2_test_grouped(df, df, "c", ("g",))
+        gvals = set(out["g"].where(pd.notna(out["g"]), None))
+        assert gvals == {"x", None}
+        for _, r in out.iterrows():
+            assert r["error"] is None
+            # self vs self: statistic 0, p-value (= score) 1, no drift
+            assert r["score"] == pytest.approx(1.0, abs=1e-12)
+            assert not r["is_drifted"]
+
     def test_chi2_topk_guard_has_no_single_partition_exchange(self, spark):
         """The UNGROUPED chi2 category guard must rank within shuffle
         partitions (window keyed by spark_partition_id), never via a global

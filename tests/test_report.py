@@ -132,6 +132,21 @@ class TestHeatmap:
         assert hm["scores_matrix"][hm["features"].index("n_chars")] == [0.0, 0.05]
         assert hm["scores_matrix"][hm["features"].index("n_tok")] == [0.1, 0.3]
 
+    def test_empty_history_frame_falls_back_to_now_column(self, spark):
+        """An EMPTY (but provided) history table must behave like no
+        history — single 'now' column, not None (round-3 review)."""
+        empty_hist = spark.createDataFrame(
+            [], "feature string, ts timestamp, score double"
+        )
+        hm = build_heatmap(self._results(spark), "r1", history_df=empty_hist)
+        assert hm is not None and hm["time_labels"] == ["now"]
+
+    def test_per_feature_thresholds_exposed(self, spark):
+        hm = build_heatmap(self._results(spark), "r1")
+        # reference semantics: single threshold = first row's (arbitrary);
+        # per-feature list carries the accurate values
+        assert hm["thresholds"] == [0.1, 0.2]  # n_chars JS, n_tok PSI
+
     def test_empty_run_returns_none(self, spark):
         assert build_heatmap(self._results(spark), "missing") is None
 

@@ -43,6 +43,16 @@ class TestReadSequences:
     def test_auto_falls_back_to_parquet_for_paths(self, spark, seq_table):
         assert read_sequences(spark, seq_table, fmt="auto").count() == 4
 
+    def test_auto_routes_only_dotted_identifiers_to_iceberg(self):
+        from aumos_drift_detector_spark.sources.tables import (
+            _looks_like_table_identifier,
+        )
+
+        assert _looks_like_table_identifier("catalog.db.tokens")
+        assert not _looks_like_table_identifier("seqdata")       # bare dir name
+        assert not _looks_like_table_identifier("data/seq")      # path
+        assert not _looks_like_table_identifier("seq.parquet")   # file
+
     def test_iceberg_unavailable_raises_cleanly(self, spark, seq_table):
         # this sandbox ships no Iceberg runtime jar: the gate must say so
         # instead of an opaque ClassNotFoundException mid-plan
