@@ -315,8 +315,12 @@ def psi_test_grouped(
         "ref_distinct",
     )
     sides = _sides(ref_df, prod_df, column, group_cols)
+    # LEFT join: a group with production data but no reference rows keeps
+    # its side rows with NULL edges, so it gets an error verdict below
+    # instead of silently vanishing from the frame (an orphan partition
+    # absent from the baseline is exactly the thing to report)
     joined = (
-        sides.join(F.broadcast(edges), list(group_cols), "inner")
+        sides.join(F.broadcast(edges), list(group_cols), "left")
         if group_cols
         else sides.crossJoin(F.broadcast(edges))
     )
@@ -340,9 +344,17 @@ def psi_test_grouped(
     for key in keys:
         sub = pdf
         for g, kv in zip(group_cols, key):
-            sub = sub[sub[g] == kv]
+            sub = sub[_key_mask(sub, g, kv)]
         if sub.empty:
             verdicts.append((key, None, "no data"))
+            continue
+        if sub["edges"].iloc[0] is None or (
+            isinstance(sub["ref_distinct"].iloc[0], float)
+            and np.isnan(sub["ref_distinct"].iloc[0])
+        ):
+            verdicts.append(
+                (key, None, "Reference dataset is empty after removing NaN/inf")
+            )
             continue
         if int(sub["ref_distinct"].iloc[0]) <= 1:
             verdicts.append(
@@ -943,11 +955,11 @@ def fused_tests_from_sketch(
 ) -> dict[str, pd.DataFrame]:
     """PSI + KS + JS grouped verdict frames from ONE collected sketch.
 
-    Exactly reproduces the three *_test_grouped outputs (same scores, error
-    strings, and group-omission semantics — PSI omits groups with an empty
-    reference because its edges join is inner, psi.py protocol) while paying
-    for one Spark job instead of five (PSI needs two passes standalone).
-    Driver cost is O(groups x distinct values) — the collected sketch.
+    Exactly reproduces the three *_test_grouped outputs (same scores and
+    error strings; groups with production data but an empty reference get
+    PSI error rows rather than vanishing) while paying for one Spark job
+    instead of five (PSI needs two passes standalone). Driver cost is
+    O(groups x distinct values) — the collected sketch.
     """
     # a keep_nulls sketch carries (v IS NULL) rows for profile_from_sketch;
     # the drift kernels operate on clean values only (parity with _sides)
@@ -1023,9 +1035,11 @@ def fused_tests_from_sketch(
             )
 
         # ---- PSI (psi_test_grouped parity) --------------------------------
-        # psi_test_grouped's inner edges join drops groups whose reference is
-        # empty after cleaning — replicate by omission
+        # a group with production data but an EMPTY reference (e.g. an
+        # orphan partition absent from the baseline) reports an error row
+        # — never silently vanishes from the verdict frame
         if n_ref == 0:
+            out_psi.append((key, None, empty_ref_msg))
             continue
         ref_mask = cr > 0
         if int(ref_mask.sum()) <= 1:

@@ -20,8 +20,11 @@ Spark-first restatement of the reference's sklearn-backed estimators
   GradientBoostingRegressor at reference dle.py:85-90), then estimates
   aggregate loss on production as mean/std of the predicted per-row losses.
 
-Both mirror the reference's result dicts exactly (keys, method tags,
-bootstrap CI for CBPE with rng seed 42 / 200 resamples, cbpe.py:115-119).
+Both mirror the reference's result dict SHAPES exactly (keys, method tags,
+bootstrap CI for CBPE with rng seed 42 / 200 resamples, cbpe.py:115-119);
+the CI values are statistically equivalent rather than bit-equal — the
+resampled array is expanded in sketch (ascending-confidence) order, not the
+reference's row order (documented deviation).
 """
 
 from __future__ import annotations
@@ -36,16 +39,23 @@ from pyspark.sql import functions as F
 CONF_DECIMALS = 6          # sketch key rounding: <=10^6 distinct confidences
 BOOTSTRAP_ITERS = 200      # reference cbpe.py:117
 BOOTSTRAP_SEED = 42        # reference cbpe.py:115
-# below this row count the calibrated per-row probabilities collect and the
-# bootstrap replays the reference's exact rng(42) index draws; above it the
-# bootstrap resamples the bounded confidence sketch (multinomial) instead —
-# statistically identical, scale-safe (documented deviation)
+# below this row count the bootstrap replays the reference's per-index
+# rng(42) resampling over the expanded array (sketch-ordered — see
+# estimate()); above it the bootstrap resamples the bounded confidence
+# sketch (multinomial) instead — statistically identical, scale-safe
 BOOTSTRAP_EXACT_CAP = 100_000
 
 
 def _confidence_correct(df: DataFrame, probs_col: str, label_col: str | None):
-    """(confidence, correct?) projection: max class prob + argmax==label."""
+    """(confidence, correct?) projection: max class prob + argmax==label.
+
+    NULL/empty probability rows are dropped here: array_max yields NULL for
+    them, and a NaN confidence key would silently poison the sketch sort
+    feeding PAV/Platt (np.interp requires increasing xp; Newton gradients go
+    NaN) — every calibrated output would become NaN with no error.
+    """
     probs = F.col(probs_col)
+    df = df.where(probs.isNotNull() & (F.size(probs) > 0))
     conf = F.round(F.array_max(probs), CONF_DECIMALS).alias("conf")
     if label_col is None:
         return df.select(conf)
@@ -208,8 +218,14 @@ class CBPEEstimator:
         rng = np.random.default_rng(BOOTSTRAP_SEED)
         boots = np.empty(BOOTSTRAP_ITERS, dtype=np.float64)
         if n_samples <= BOOTSTRAP_EXACT_CAP:
-            # reference-exact replay (cbpe.py:113-119): per-index resampling
-            # of the expanded calibrated-probability array
+            # reference-SHAPED replay (cbpe.py:113-119): per-index resampling
+            # of the expanded calibrated-probability array. NOT value-exact
+            # vs the reference: our expansion is ordered by ascending
+            # confidence (the sketch sort) while the reference resamples in
+            # original row order, so the same rng(42) index draws select a
+            # different multiset — the CI is statistically equivalent
+            # (documented deviation; identical estimator, same iteration
+            # count/seeded generator, distribution-identical resamples)
             expanded = np.repeat(cal, cnt)
             for i in range(BOOTSTRAP_ITERS):
                 idx = rng.integers(0, n_samples, size=n_samples)

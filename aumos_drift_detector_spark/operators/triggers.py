@@ -8,8 +8,10 @@ history table itself (max triggered_at per model), so evaluation is
 idempotent and cluster-safe.
 
 Semantics parity (retrain_trigger.py):
-- direction-aware threshold: p-value tests (ks, chi2, ks_2samp) fire when
-  score < threshold, score tests when score > threshold  (:239-244)
+- direction-aware threshold: p-value tests fire when score < threshold,
+  score tests when score > threshold (:239-244). The p-value set is
+  ``kernels.P_VALUE_TESTS`` (includes chi_squared / anderson_darling, which
+  the reference's hard-coded tuple misses — documented reference-bug fix)
 - outcomes: triggered | suppressed_threshold | suppressed_cooldown |
   suppressed_disabled, each with the reference's message text (:224-310)
 - cooldown: a model triggers at most once per ``cooldown_hours``; within one
@@ -37,7 +39,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-P_VALUE_TESTS = ("ks", "chi2", "ks_2samp")  # reference retrain_trigger.py:240
+# The reference hard-codes ("ks", "chi2", "ks_2samp")
+# (retrain_trigger.py:240), which misses the very names its own chi-squared
+# and AD kernels emit — a drifted chi_squared detection (tiny p-value) would
+# take the score>threshold branch and be SUPPRESSED while a non-drifted one
+# fires. We use the kernel-level registry (a superset that includes the
+# reference's strings) so every engine-emitted p-value test routes to the
+# inverted comparison. Documented deviation (reference-bug fix).
+from aumos_drift_detector_spark.functions.kernels import (  # noqa: E402
+    P_VALUE_TESTS,
+)
 
 TRIGGER_EVENT_SCHEMA = T.StructType(
     [
@@ -52,6 +63,13 @@ TRIGGER_EVENT_SCHEMA = T.StructType(
         T.StructField("drift_score", T.DoubleType()),
         T.StructField("test_name", T.StringType()),
         T.StructField("evaluated_at", T.TimestampType()),
+        # the TRIGGER-time clock (detection time for drift triggers, `now`
+        # for performance/scheduled), NULL on suppressed rows. Cooldown
+        # comparisons read this column, NOT evaluated_at: a backfilled
+        # batch evaluates old detections with a late evaluated_at, and
+        # mixing the two clocks would make outcomes depend on how events
+        # were batched (round-3 review).
+        T.StructField("triggered_at", T.TimestampType()),
         T.StructField("message", T.StringType()),
     ]
 )
@@ -149,10 +167,18 @@ class RetrainTriggerEngine:
     def _last_triggered(history: DataFrame | None) -> DataFrame | None:
         if history is None:
             return None
+        cols = set(history.columns)
+        # triggered_at is the consistent cooldown clock; fall back to
+        # evaluated_at for histories written before the column existed
+        clock = (
+            F.coalesce(F.col("triggered_at"), F.col("evaluated_at"))
+            if "triggered_at" in cols
+            else F.col("evaluated_at")
+        )
         return (
             history.where(F.col("triggered"))
             .groupBy("model_id")
-            .agg(F.max("evaluated_at").alias("last_triggered"))
+            .agg(F.max(clock).alias("last_triggered"))
         )
 
     # -- drift triggers --------------------------------------------------------
@@ -238,6 +264,7 @@ class RetrainTriggerEngine:
                         drift_score=score,
                         test_name=r["test_name"],
                         evaluated_at=now,
+                        triggered_at=ts if trig else None,
                         message=msg,
                     )
                 )
@@ -252,86 +279,96 @@ class RetrainTriggerEngine:
         metrics: DataFrame,
         history: DataFrame | None = None,
         now: datetime | None = None,
+        ts_col: str = "measured_at",
     ) -> DataFrame:
         """Evaluate (model_id, accuracy?, rmse?) metric rows (:312-417).
 
-        One row per input; RMSE breach takes message precedence over accuracy
-        when both cross, matching the reference's sequential overwrite.
+        One event row per input; RMSE breach takes message precedence over
+        accuracy when both cross, matching the reference's sequential
+        overwrite. Within-batch cooldown resolves SEQUENTIALLY per model
+        (same applyInPandas shape as the drift path): even when every metric
+        row crosses, a model triggers at most once per ``cooldown_hours``
+        and event_ids stay unique. Rows order by ``ts_col`` when the input
+        has it; otherwise every row carries ``now`` and ordering within the
+        batch is arbitrary-but-stable (the at-most-once guarantee holds
+        either way).
         """
         spark = metrics.sparkSession
         now = now or datetime.now(tz=timezone.utc)
         pol = self._policy_df(spark, metrics)
+        has_ts = ts_col in metrics.columns
         joined = metrics.withColumn(
             "model_id", F.col("model_id").cast("string")
         ).join(F.broadcast(pol), "model_id", "left")
+        if not has_ts:
+            joined = joined.withColumn(ts_col, F.lit(now))
         last = self._last_triggered(history)
         if last is not None:
             joined = joined.join(F.broadcast(last), "model_id", "left")
         else:
             joined = joined.withColumn("last_triggered", F.lit(None).cast("timestamp"))
 
-        acc = F.col("accuracy")
-        rmse = F.col("rmse")
-        acc_bad = (
-            acc.isNotNull()
-            & F.col("performance_accuracy_threshold").isNotNull()
-            & (acc < F.col("performance_accuracy_threshold"))
-        )
-        rmse_bad = (
-            rmse.isNotNull()
-            & F.col("performance_rmse_threshold").isNotNull()
-            & (rmse > F.col("performance_rmse_threshold"))
-        )
-        cooldown_active = F.col("last_triggered").isNotNull() & (
-            F.unix_timestamp(F.lit(now)) - F.unix_timestamp(F.col("last_triggered"))
-            < F.col("cooldown_hours") * 3600
-        )
-        crossed = acc_bad | rmse_bad
-        reason_text = F.when(
-            rmse_bad,
-            F.format_string(
-                "RMSE %.4f above threshold %.4f",
-                rmse,
-                F.col("performance_rmse_threshold"),
-            ),
-        ).otherwise(
-            F.format_string(
-                "Accuracy %.4f below threshold %.4f",
-                acc,
-                F.col("performance_accuracy_threshold"),
-            )
-        )
-        outcome = (
-            F.when(~F.col("enabled"), "suppressed_disabled")
-            .when(~crossed, "suppressed_threshold")
-            .when(cooldown_active, "suppressed_cooldown")
-            .otherwise("triggered")
-        )
-        message = (
-            F.when(~F.col("enabled"), F.lit("Trigger disabled by policy."))
-            .when(~crossed, F.lit("Performance within acceptable range."))
-            .when(cooldown_active, F.lit("Cooldown active."))
-            .otherwise(
-                F.concat(
-                    F.lit("Retraining triggered by performance: "),
-                    reason_text,
-                    F.lit("."),
+        def resolve(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
+            out = []
+            last_trig = pdf["last_triggered"].iloc[0]
+            last_trig = None if pd.isna(last_trig) else last_trig.to_pydatetime()
+            for i, r in pdf.iterrows():
+                acc = r.get("accuracy")
+                rmse = r.get("rmse")
+                acc_thr = r["performance_accuracy_threshold"]
+                rmse_thr = r["performance_rmse_threshold"]
+                acc_bad = (
+                    acc is not None and not pd.isna(acc)
+                    and acc_thr is not None and not pd.isna(acc_thr)
+                    and float(acc) < float(acc_thr)
                 )
-            )
-        )
-        return joined.select(
-            F.concat_ws("|", "model_id", F.lit("performance")).alias("event_id"),
-            F.col("tenant_id").cast("string"),
-            F.col("monitor_id").cast("string"),
-            "model_id",
-            F.lit(None).cast("string").alias("detection_id"),
-            F.lit("performance_degradation").alias("reason"),
-            outcome.alias("outcome"),
-            (outcome == "triggered").alias("triggered"),
-            F.lit(0.0).alias("drift_score"),
-            F.lit("performance").alias("test_name"),
-            F.lit(now).alias("evaluated_at"),
-            message.alias("message"),
+                rmse_bad = (
+                    rmse is not None and not pd.isna(rmse)
+                    and rmse_thr is not None and not pd.isna(rmse_thr)
+                    and float(rmse) > float(rmse_thr)
+                )
+                ts = r[ts_col].to_pydatetime()
+                cd = pd.Timedelta(hours=int(r["cooldown_hours"]))
+                if not bool(r["enabled"]):
+                    outcome, msg = "suppressed_disabled", "Trigger disabled by policy."
+                elif not (acc_bad or rmse_bad):
+                    outcome, msg = (
+                        "suppressed_threshold",
+                        "Performance within acceptable range.",
+                    )
+                elif last_trig is not None and (ts - last_trig) < cd:
+                    outcome, msg = "suppressed_cooldown", "Cooldown active."
+                else:
+                    outcome = "triggered"
+                    reason = (
+                        f"RMSE {float(rmse):.4f} above threshold {float(rmse_thr):.4f}"
+                        if rmse_bad
+                        else f"Accuracy {float(acc):.4f} below threshold {float(acc_thr):.4f}"
+                    )
+                    msg = f"Retraining triggered by performance: {reason}."
+                    last_trig = ts
+                out.append(
+                    dict(
+                        event_id=f"{r['model_id']}|performance|{i}",
+                        tenant_id=r["tenant_id"],
+                        monitor_id=r["monitor_id"],
+                        model_id=r["model_id"],
+                        detection_id=None,
+                        reason="performance_degradation",
+                        outcome=outcome,
+                        triggered=outcome == "triggered",
+                        drift_score=0.0,
+                        test_name="performance",
+                        evaluated_at=now,
+                        triggered_at=ts if outcome == "triggered" else None,
+                        message=msg,
+                    )
+                )
+            return pd.DataFrame(out, columns=[f.name for f in TRIGGER_EVENT_SCHEMA])
+
+        return joined.groupBy("model_id").applyInPandas(
+            resolve, TRIGGER_EVENT_SCHEMA
         )
 
     # -- scheduled triggers -------------------------------------------------------
@@ -394,6 +431,9 @@ class RetrainTriggerEngine:
             F.lit(0.0).alias("drift_score"),
             F.lit("schedule").alias("test_name"),
             F.lit(now).alias("evaluated_at"),
+            F.when(outcome == "triggered", F.lit(now))
+            .otherwise(F.lit(None).cast("timestamp"))
+            .alias("triggered_at"),
             message.alias("message"),
         )
 

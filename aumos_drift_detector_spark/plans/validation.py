@@ -180,10 +180,17 @@ class ValidationRun:
         s = self.s
         part = s.partition_col
 
-        all_parts = [
+        raw_parts = [
             r[0]
             for r in self.current.select(part).distinct().collect()
         ]
+        # a NULL partition key must not crash the run (sorted() can't order
+        # None vs str) nor silently vanish: NULL-keyed rows can't join any
+        # batch (isin filters exclude NULL), so they are reported instead
+        # via a dedicated results row in the first batch (see _run_batch's
+        # null_partition_rows plumb-through)
+        all_parts = [p for p in raw_parts if p is not None]
+        self._has_null_partition = len(all_parts) != len(raw_parts)
         done = self._completed_partitions() if resume else set()
         pending = sorted(p for p in all_parts if p not in done)
         skipped = sorted(p for p in all_parts if p in done)
@@ -357,7 +364,10 @@ class ValidationRun:
             return profile_columns(cur, [s.ntok_col], (part,), s.engine).toPandas()
 
         def job_drift(fn, col):
-            return fn(cur, base, col, (part,), config=s.engine)
+            # reference = BASELINE snapshot, production = CURRENT batch
+            # (matches the token-histogram path's (base, cur) order; PSI's
+            # quantile bin edges must come from the baseline distribution)
+            return fn(base, cur, col, (part,), config=s.engine)
 
         def job_token_hist():
             if not s.run_token_histogram:
@@ -395,9 +405,11 @@ class ValidationRun:
 
         def job_ntok_sketch():
             # one shared scan: the per-value sketch (nulls kept as a marker
-            # row) feeds PSI+KS+JS *and* the column profile driver-side
+            # row) feeds PSI+KS+JS *and* the column profile driver-side.
+            # Side order (base, cur): reference = baseline snapshot,
+            # production = current — same as job_drift / job_token_hist
             return D.per_value_sketch(
-                cur, base, s.ntok_col, (part,), keep_nulls=True
+                base, cur, s.ntok_col, (part,), keep_nulls=True
             ).toPandas()
 
         job_walls: dict[str, float] = {}
@@ -436,10 +448,10 @@ class ValidationRun:
             job_walls["_pool_wall"] = round(time.monotonic() - tb, 2)
             if s.fused_ntok_drift:
                 sketch_pdf = fut_sketch.result()
-                # the plan calls tests as fn(cur, base): cur rides the sketch's
-                # ref side, so the profile (over cur) reads side="ref"
+                # sketch sides are (base=ref, cur=prod); the profile
+                # describes the CURRENT batch, so it reads side="prod"
                 prof = D.profile_from_sketch(
-                    sketch_pdf, (part,), s.ntok_col, side="ref"
+                    sketch_pdf, (part,), s.ntok_col, side="prod"
                 )
                 fused = D.fused_tests_from_sketch(
                     sketch_pdf, (part,), s.ntok_col, s.engine
@@ -487,13 +499,28 @@ class ValidationRun:
             for name in GLOBAL_CHECKS:
                 total = sum(n for (c, _), n in vio_counts.items() if c == name)
                 batch_rows.append(check_row(name, "__global__", total))
+            if getattr(self, "_has_null_partition", False):
+                # NULL partition keys never join a batch (isin excludes
+                # NULL): surface them as a critical check instead of
+                # silently skipping those rows
+                n_null = self.current.where(F.col(part).isNull()).count()
+                batch_rows.append(
+                    check_row("null_partition_key", "__unattributed__", n_null)
+                )
         for name in PARTITION_CHECKS:
             for p in batch:
                 batch_rows.append(check_row(name, p, vio_counts.get((name, p), 0)))
-            # run-scoped (not batch-scoped) count under its own sentinel
-            # partition: re-reported each batch with the updated run-wide
-            # total — idempotent overwrite of '__unattributed__' only,
-            # never of the globals' '__global__' partition
+            # Defense in depth: partition checks cannot currently emit a
+            # NULL partition_value at all (cur is pre-filtered to the
+            # batch's non-null keys; NULL-keyed rows are surfaced by the
+            # null_partition_key check above instead), so this branch is
+            # dead unless a future check changes that. If it ever fires,
+            # note the limits: the RESULTS row is re-reported per batch
+            # with the run-scoped count (idempotent, and never overwrites
+            # the globals' '__global__' partition), but the VIOLATIONS
+            # '__unattributed__' partition is dynamic-overwrite
+            # batch-scoped — a later batch writing there would replace an
+            # earlier batch's unattributed violation rows.
             n_unattributed = vio_counts.get((name, "__unattributed__"), 0)
             if n_unattributed:
                 batch_rows.append(
@@ -509,7 +536,9 @@ class ValidationRun:
                     partition_value=str(r[part]),
                     check_name="profile",
                     feature=s.ntok_col,
-                    score=float(r["mean"]),
+                    # fused-path mean is a Python None (object dtype) when a
+                    # group's column is entirely NULL; float(None) raises
+                    score=float(r["mean"]) if r["mean"] is not None else float("nan"),
                     threshold=float("nan"),
                     is_drifted=False,
                     severity="info",

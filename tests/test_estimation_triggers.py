@@ -270,6 +270,80 @@ class TestRetrainTriggers:
         assert out["d2"]["outcome"] == "suppressed_cooldown"
         assert out["d3"]["outcome"] == "triggered"       # past cooldown
 
+    def test_chi_squared_routes_to_p_value_branch(self, spark):
+        """The engine's own kernels emit test='chi_squared' (and
+        'anderson_darling'); the reference's hard-coded ('ks','chi2',
+        'ks_2samp') would invert their trigger direction — a drifted
+        chi-squared (tiny p) must TRIGGER, a non-drifted one (p~1) must not
+        (round-3 review; documented reference-bug fix)."""
+        eng = RetrainTriggerEngine(TriggerPolicy(drift_score_threshold=0.05))
+        det = self._detections(
+            spark,
+            [
+                ("t", "mon", "mA", "d1", 0.001, "chi_squared", NOW),   # drifted
+                ("t", "mon", "mB", "d2", 0.9, "chi_squared", NOW),     # not
+                ("t", "mon", "mC", "d3", 0.001, "anderson_darling", NOW),
+            ],
+        )
+        out = {r["detection_id"]: r for r in eng.evaluate_drift_triggers(det, now=NOW).collect()}
+        assert out["d1"]["outcome"] == "triggered"
+        assert out["d2"]["outcome"] == "suppressed_threshold"
+        assert out["d3"]["outcome"] == "triggered"
+
+    def test_cooldown_clock_is_batch_invariant(self, spark):
+        """A late (backfill) evaluation must reach the same outcome as a
+        same-batch evaluation: the history's cooldown clock is the TRIGGER
+        time (detection ts), not evaluated_at (round-3 review)."""
+        eng = RetrainTriggerEngine(TriggerPolicy(cooldown_hours=24))
+        d1_ts = NOW - timedelta(hours=36)
+        d3_ts = NOW - timedelta(hours=6)  # 30h after d1: past cooldown
+        # batched together: d1 triggers, d3 (30h later) triggers too
+        both = self._detections(spark, [
+            ("t", "mon", "m1", "d1", 0.9, "psi", d1_ts),
+            ("t", "mon", "m1", "d3", 0.8, "psi", d3_ts),
+        ])
+        same_batch = {r["detection_id"]: r["outcome"]
+                      for r in eng.evaluate_drift_triggers(both, now=NOW).collect()}
+        # split across batches: d1 evaluated LATE (evaluated_at=NOW), then d3
+        hist = eng.evaluate_drift_triggers(
+            self._detections(spark, [("t", "mon", "m1", "d1", 0.9, "psi", d1_ts)]),
+            now=NOW,
+        )
+        later = {r["detection_id"]: r["outcome"]
+                 for r in eng.evaluate_drift_triggers(
+                     self._detections(spark, [("t", "mon", "m1", "d3", 0.8, "psi", d3_ts)]),
+                     history=hist, now=NOW,
+                 ).collect()}
+        assert same_batch["d3"] == "triggered"
+        assert later["d3"] == same_batch["d3"]  # batching must not change it
+
+    def test_performance_within_batch_cooldown_and_unique_ids(self, spark):
+        """Every hourly metric row crossing the floor must NOT each fire:
+        at most one trigger per model per cooldown, unique event_ids
+        (round-3 review)."""
+        eng = RetrainTriggerEngine(
+            TriggerPolicy(performance_accuracy_threshold=0.8, cooldown_hours=24)
+        )
+        met = spark.createDataFrame(pd.DataFrame({
+            "tenant_id": ["t"] * 30,
+            "monitor_id": ["mon"] * 30,
+            "model_id": ["m1"] * 30,
+            "accuracy": [0.5] * 30,
+            "rmse": [None] * 30,
+            "measured_at": [NOW + timedelta(hours=h) for h in range(30)],
+        }))
+        rows = eng.evaluate_performance_triggers(met, now=NOW).collect()
+        assert len(rows) == 30
+        assert len({r["event_id"] for r in rows}) == 30  # unique ids
+        fired = sorted(r["triggered_at"] for r in rows if r["triggered"])
+        # hours 0..29: triggers at h=0 and h=24 only (24h cooldown)
+        assert [
+            (t - NOW.replace(tzinfo=None)).total_seconds() / 3600
+            if t.tzinfo is None
+            else (t - NOW).total_seconds() / 3600
+            for t in fired
+        ] == [0.0, 24.0]
+
     def test_performance_triggers(self, spark):
         eng = RetrainTriggerEngine(
             TriggerPolicy(

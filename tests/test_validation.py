@@ -121,6 +121,35 @@ class TestDriftedVariant:
         psi = res[res["check_name"] == "psi"]
         assert (psi["score"] >= 0.2).all()
 
+    def test_null_partition_key_survives_and_is_reported(self, spark, tmp_path):
+        """Rows with a NULL partition key must not crash run() (sorted()
+        can't order None vs str) nor silently vanish — they surface as a
+        critical null_partition_key check row (round-3 review)."""
+        cur, base, dim, _ = generate_token_tables(
+            spark, n_rows=1500, seed=7, plant_violations=False
+        )
+        cur_null = cur.withColumn(
+            "source",
+            F.when(F.col("doc_id").substr(-1, 1) == "7", F.lit(None)).otherwise(
+                F.col("source")
+            ),
+        )
+        n_null = cur_null.where(F.col("source").isNull()).count()
+        assert n_null > 0
+        run = ValidationRun(
+            spark, cur_null, base, dim, str(tmp_path / "outnull"),
+            settings=ValidationSettings(run_token_histogram=False),
+        )
+        report = run.run()  # must not raise
+        res = report.results
+        npk = res[res["check_name"] == "null_partition_key"]
+        assert len(npk) == 1
+        assert int(npk["score"].iloc[0]) == n_null
+        assert npk["is_drifted"].iloc[0]
+        assert npk["severity"].iloc[0] == "critical"
+        # real partitions still validated normally
+        assert (res[res["check_name"] == "profile"]["partition_value"] != "").any()
+
 
 class TestKillSafeResume:
     """BASELINE.md protocol step 5: kill mid-run, rerun, totals equal an
