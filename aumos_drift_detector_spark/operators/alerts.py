@@ -11,13 +11,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # p-value tests fire when score < threshold; score-style tests when score >
 # (reference retrain_trigger.py:239-244). Comparison strictness follows each
 # kernel's own drift verdict: only PSI declares drift on >= (psi.py:181); the
 # distance tests (JS/Hellinger/Wasserstein/MMD) use strict >, so a boundary
 # score must not fire a retrain signal without a matching drift verdict.
-P_VALUE_TESTS = {"ks", "chi_squared", "chi2", "ks_2samp", "anderson_darling"}
+# P_VALUE_TESTS is the ONE authoritative registry (kernels.py) — a local
+# copy would silently diverge when a new p-value kernel is added
+from aumos_drift_detector_spark.functions.kernels import P_VALUE_TESTS  # noqa: E402
+
 GTE_TESTS = {"psi"}
 
 
@@ -48,32 +52,52 @@ def gate_alerts(
     first run). Emits every candidate with ``status`` = 'dispatched' |
     'suppressed' — suppressed rows are kept, matching the reference's
     suppressed-history behavior (alert_system.py:322-330).
+
+    Cooldown resolves SEQUENTIALLY per dedup key (applyInPandas, the same
+    shape as the trigger engine): two candidates for one key inside one
+    batch suppress each other exactly as the reference's in-memory event
+    loop would — a backfill batch can never double-dispatch a key
+    (round-3 review). Keys are many, candidates per key per batch are few.
     """
-    if alert_history is None:
-        return candidates.withColumn("status", F.lit("dispatched"))
-    last_fired = (
-        alert_history.where(F.col("status") == "dispatched")
-        .groupBy("dedup_key")
-        .agg(F.max(ts_col).alias("_last_ts"))
-    )
-    joined = candidates.join(F.broadcast(last_fired), "dedup_key", "left")
+    import pandas as pd
+
+    if alert_history is not None:
+        last_fired = (
+            alert_history.where(F.col("status") == "dispatched")
+            .groupBy("dedup_key")
+            .agg(F.max(ts_col).alias("_last_ts"))
+        )
+        joined = candidates.join(F.broadcast(last_fired), "dedup_key", "left")
+    else:
+        joined = candidates.withColumn("_last_ts", F.lit(None).cast("timestamp"))
     # per-rule cooldown when the candidates carry one (evaluate_rules path),
     # else the global parameter (alert_system.py:313: rule.cooldown_minutes)
-    cd_minutes = (
-        F.col("cooldown_minutes")
-        if "cooldown_minutes" in candidates.columns
-        else F.lit(cooldown_minutes)
+    has_cd = "cooldown_minutes" in candidates.columns
+    cand_cols = candidates.columns
+    out_schema = T.StructType(
+        list(candidates.schema.fields) + [T.StructField("status", T.StringType())]
     )
-    in_cooldown = (
-        F.col("_last_ts").isNotNull()
-        & (
-            F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.col("_last_ts"))
-            < cd_minutes * 60
-        )
-    )
-    return joined.withColumn(
-        "status", F.when(in_cooldown, "suppressed").otherwise("dispatched")
-    ).drop("_last_ts")
+
+    def resolve(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
+        last = pdf["_last_ts"].iloc[0]
+        last = None if pd.isna(last) else last.to_pydatetime()
+        statuses = []
+        for _, r in pdf.iterrows():
+            cd = pd.Timedelta(
+                minutes=int(r["cooldown_minutes"]) if has_cd else cooldown_minutes
+            )
+            ts = r[ts_col].to_pydatetime()
+            if last is not None and (ts - last) < cd:
+                statuses.append("suppressed")
+            else:
+                statuses.append("dispatched")
+                last = ts
+        out = pdf[cand_cols].copy()
+        out["status"] = statuses
+        return out
+
+    return joined.groupBy("dedup_key").applyInPandas(resolve, out_schema)
 
 
 class AlertRuleSet:
@@ -112,9 +136,12 @@ class AlertRuleSet:
         rule = self._rules.get(str(rule_id))
         if rule is None:
             return False
-        for k, v in kwargs.items():
-            if k in rule:
-                rule[k] = v
+        merged = {**rule, **{k: v for k, v in kwargs.items() if k in rule}}
+        # re-route through add_rule so updates get the SAME validation and
+        # type coercion as creation — an unvalidated comparison like 'ge'
+        # would silently fall through evaluate_rules' otherwise-branch and
+        # fire in the 'lt' direction (round-3 review)
+        self.add_rule(**merged)
         return True
 
     def get_rule(self, rule_id: str) -> dict | None:

@@ -5,9 +5,11 @@ arrays in memory and keeps versioned snapshots with SHA-256 fingerprints.
 Here a baseline is a ROW SET in a parquet/Iceberg "baselines" table (schema
 per FIXTURES.md §2): one row per (model_id, version, partition_value,
 feature) carrying the full FeatureStatistics profile + 20-bin histogram.
-Capture is the single wide aggregation pass (profile_columns) plus the
-histogram pass; compare is a join of two sketch row sets — no raw data ever
-re-read.
+Capture is the single wide aggregation pass (profile_columns) plus ONE
+histogram job per captured column (bounded by the feature list, not the
+data; a many-hundred-feature capture would want these fused into one
+multi-column binned aggregation — noted trade-off); compare is a join of
+two sketch row sets — no raw data ever re-read.
 """
 
 from __future__ import annotations
@@ -17,6 +19,7 @@ import json
 from datetime import datetime, timezone
 from typing import Sequence
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -87,7 +90,15 @@ def capture_baseline(
         for key in keys:
             sub = hp
             for g, kv in zip(group, key):
-                sub = sub[sub[g] == kv]
+                # NULL-safe key match: pandas NaN != NaN, so a NULL
+                # partition group would filter to empty and .iloc[-1]
+                # would raise IndexError (round-3 review)
+                if kv is None or (isinstance(kv, float) and pd.isna(kv)):
+                    sub = sub[sub[g].isna()]
+                else:
+                    sub = sub[sub[g] == kv]
+            if sub.empty:
+                continue
             sub = sub.sort_values("bin")
             counts = [int(c) for c in sub["bin_count"]]
             edges = [float(e) for e in sub["bin_lo"]] + [float(sub["bin_hi"].iloc[-1])]
@@ -201,8 +212,25 @@ def write_baseline(baseline: DataFrame, path: str) -> None:
 def read_active_baseline(
     spark: SparkSession, path: str, model_id: str
 ) -> DataFrame:
-    return spark.read.parquet(path).where(
-        (F.col("model_id") == model_id) & F.col("is_active")
+    """Newest active snapshot per (partition, feature) for one model.
+
+    ``write_baseline`` appends, so several captured versions of the same
+    model coexist in the table with is_active=true; without the
+    latest-capture filter a downstream ``compare_baselines`` join (keyed on
+    partition+feature only) would cross-product every version pair
+    (round-3 review). The window runs over the model's sketch rows — tiny.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("partition_value", "feature_name").orderBy(
+        F.desc("captured_at"), F.desc("model_version")
+    )
+    return (
+        spark.read.parquet(path)
+        .where((F.col("model_id") == model_id) & F.col("is_active"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
     )
 
 

@@ -366,7 +366,10 @@ def cusum_change_points(
 
     pos = neg = 0.0
     hits: list[int] = []
-    last = 0
+    # start OUTSIDE the separation window: with last=0 a change point at
+    # index <= min_separation would reset the accumulators yet never be
+    # reported (round-3 review)
+    last = -(min_separation + 1)
     for i, x in enumerate(scores):
         z = (x - mean) / std
         pos = max(0.0, pos + z - 0.5)
@@ -398,8 +401,19 @@ def cusum_grouped(
     )
 
     def replay(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
         keys = {k: pdf.iloc[0][k] for k in key_cols}
+        # drop NULL/NaN values BEFORE the replay: one NaN poisons mean/std
+        # and every z-score, silently reporting zero change points
+        # (replay_detector does the same skip)
+        pdf = (
+            pdf[pdf[value_col].notna()]
+            .sort_values(order_col, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        if pdf.empty:
+            return pd.DataFrame(
+                [], columns=[*key_cols, "change_index", "seq", "value"]
+            )
         vals = pdf[value_col].astype(float).tolist()
         hits = cusum_change_points(vals, threshold)
         return pd.DataFrame(

@@ -57,18 +57,20 @@ def _cumulative_per_value(
     ~row count. This helper is the scale-safe replacement (the classic
     distributed prefix-sum):
 
-      1. ``repartitionByRange`` on (group..., v) splits each group's value
-         axis into contiguous chunks (a group's chunks are contiguous because
-         ranges are over the composite key).
+      1. One ``approxQuantile`` pass over the sketch fixes explicit value
+         boundaries; ``_cid`` = the bucket of v against those broadcast
+         boundaries — DETERMINISTIC, so chunks are contiguous along each
+         group's value axis in every consumer of the frame (see the inline
+         note for why spark_partition_id over repartitionByRange is wrong).
       2. Per-chunk totals aggregate in parallel; the chunk-totals table is
          groups x n_ranges rows — bytes — so its per-group prefix sum runs in
          a tiny window and broadcast-joins back as per-chunk offsets.
       3. A window partitioned by (group, chunk) computes the LOCAL cumsum of
          each chunk in parallel; local + offset = the global cumulative sum.
 
-    Cost: two shuffles of the per-value sketch (range + hash) instead of one
-    serial reducer — the right trade at scale. Input must be distinct on
-    (group..., v). Output adds ``cum_<c>`` and ``total_<c>`` for every sum
+    Cost: one quantile pass + hash shuffles of the per-value sketch instead
+    of one serial reducer — the right trade at scale. Input must be distinct
+    on (group..., v). Output adds ``cum_<c>`` and ``total_<c>`` for every sum
     column, plus ``next_v`` (the next distinct value within the group, null at
     the group's end) when ``with_next_value`` — stitched across chunk
     boundaries via each chunk's broadcast per-group min.
@@ -77,9 +79,27 @@ def _cumulative_per_value(
     if n_ranges is None:
         n_ranges = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     gcols = [F.col(g) for g in group_cols]
-    df = per_value.repartitionByRange(n_ranges, *gcols, F.col("v")).withColumn(
-        "_cid", F.spark_partition_id()
+    # The chunk id must be DETERMINISTIC — a pure function of v — never
+    # spark_partition_id() over repartitionByRange. The ranged frame feeds
+    # TWO consumers (chunk totals + the offset join); whenever Catalyst's
+    # column pruning makes those branches' plans differ even slightly,
+    # exchange reuse is off and each branch re-SAMPLES different range
+    # boundaries, silently misaligning every offset (measured: AUC varying
+    # run to run). Explicit boundaries from one approxQuantile pass over
+    # the sketch give the same contiguous-chunks-per-group property with a
+    # value-derived _cid that is identical in every consumer by
+    # construction; the heavy shuffles below are then plain hash exchanges
+    # on (group, _cid).
+    probs = [i / n_ranges for i in range(1, n_ranges)]
+    bounds = sorted(
+        set(per_value.approxQuantile("v", probs, 0.001)) if probs else []
     )
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        cid = F.size(F.filter(barr, lambda b: b < F.col("v")))
+    else:
+        cid = F.lit(0)
+    df = per_value.withColumn("_cid", cid)
     chunk_aggs = [F.sum(c).alias(f"_t_{c}") for c in sum_cols]
     if with_next_value:
         chunk_aggs.append(F.min("v").alias("_chunk_min_v"))

@@ -32,6 +32,9 @@ def classification_metrics(
     F1 over the union of true/predicted classes (reference semantics).
     """
     t, p = F.col(y_true), F.col(y_pred)
+    # NULL labels/predictions would otherwise become a phantom class whose
+    # F1 coalesces to 0.0, silently deflating macro-F1 (round-3 review)
+    df = df.where(t.isNotNull() & p.isNotNull())
     per_class = (
         df.select(
             *group_cols,
@@ -85,22 +88,37 @@ def auc_binary(
 ) -> DataFrame:
     """Rank-based ROC-AUC per group (Mann-Whitney U / tie-averaged ranks).
 
-    Exactly one window sort per group + one aggregation — the distributed
-    restatement of the reference's sort-sweep (performance_monitor.py:576-604).
+    Fully parallel at any group cardinality: rows pre-aggregate to a
+    per-(group, score) sketch, the tie-averaged midranks come from the
+    range-partitioned parallel prefix sums (``drift._cumulative_per_value``
+    — the same no-single-reducer machinery as KS/W1; the former
+    ``Window.partitionBy().orderBy(score)`` plan moved the ENTIRE
+    prediction log through one task when ungrouped), and one tiny
+    aggregation over distinct-score rows finishes the U statistic.
+    midrank(s) = cum_before(s) + (n_tie(s) + 1)/2 — exactly the
+    rank + (ties-1)/2 average of the sort-sweep
+    (performance_monitor.py:576-604).
     """
+    from aumos_drift_detector_spark.operators.drift import _cumulative_per_value
+
     lbl = F.col(label_col).cast("double")
-    w = Window.partitionBy(*group_cols).orderBy(F.col(score_col).cast("double"))
-    # average rank for ties: rank spans [rank, rank + count(tie)-1]
-    tie_w = Window.partitionBy(*group_cols, F.col(score_col).cast("double"))
-    ranked = df.select(
-        *group_cols,
-        lbl.alias("_y"),
-        (F.rank().over(w) + (F.count(F.lit(1)).over(tie_w) - 1) / 2.0).alias("_r"),
+    sc = F.col(score_col).cast("double")
+    clean = df.where(lbl.isNotNull() & sc.isNotNull())
+    # n_pos_s and n_neg_s ride as SUM columns: _cumulative_per_value's input
+    # must be exactly (group, v, sum_cols) — see its invariant note
+    per_score = clean.groupBy(*group_cols, sc.alias("v")).agg(
+        F.sum((lbl == 1.0).cast("long")).alias("n_pos_s"),
+        F.sum((lbl == 0.0).cast("long")).alias("n_neg_s"),
+        F.count(F.lit(1)).alias("n_tot"),
     )
-    agg = ranked.groupBy(*group_cols).agg(
-        F.sum(F.when(F.col("_y") == 1.0, F.col("_r"))).alias("rank_pos_sum"),
-        F.sum((F.col("_y") == 1.0).cast("long")).alias("n_pos"),
-        F.sum((F.col("_y") == 0.0).cast("long")).alias("n_neg"),
+    cum = _cumulative_per_value(
+        per_score, group_cols, ["n_pos_s", "n_neg_s", "n_tot"]
+    )
+    midrank = (F.col("cum_n_tot") - F.col("n_tot")) + (F.col("n_tot") + 1) / 2.0
+    agg = cum.groupBy(*group_cols).agg(
+        F.sum(F.col("n_pos_s") * midrank).alias("rank_pos_sum"),
+        F.sum("n_pos_s").alias("n_pos"),
+        F.sum("n_neg_s").alias("n_neg"),
     )
     auc = F.try_divide(
         F.col("rank_pos_sum") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0,
