@@ -49,6 +49,13 @@ class EngineConfig:
     # path for continuous columns at 10^12 rows (distinct ~ rows)
     exact_quantile_plan: str = "sketch"
     approx_percentile_accuracy: int = 10000
+    # adaptive sketch-collect: standalone KS/W1 first try ONE job (per-value
+    # sketch -> limit(cap+1) -> driver kernel); a result longer than the cap
+    # means the distinct-value set is data-proportional (continuous column at
+    # scale), so the operator falls back to the fully distributed
+    # prefix-sum plan, paying one extra aggregation pass only in that case.
+    # 0 disables the probe (always distributed).
+    sketch_collect_max_rows: int = 2_000_000
     salt_buckets: int = 16            # salting fan-out for skewed aggregations
     broadcast_dim_threshold: int = 10_000_000  # bytes; hint only
 

@@ -420,6 +420,61 @@ def psi_test(
 # KS
 # ---------------------------------------------------------------------------
 
+def _ks_verdicts_from_sketch(
+    sketch_pdf: pd.DataFrame,
+    group_cols: Sequence[str],
+    column: str,
+    threshold: float,
+    config: EngineConfig,
+) -> list[tuple[tuple, DriftVerdict | None, str | None]]:
+    """Per-group exact KS (D = max ECDF gap) over a collected per-value
+    sketch — the driver half of the adaptive plan in ``ks_test_grouped``;
+    identical math to the fused-sketch KS path."""
+    sketch_pdf = sketch_pdf[sketch_pdf["v"].notna()]
+    verdicts: list[tuple[tuple, DriftVerdict | None, str | None]] = []
+    if group_cols:
+        keys = (
+            sketch_pdf[list(group_cols)]
+            .drop_duplicates()
+            .itertuples(index=False, name=None)
+        )
+    else:
+        keys = [()] if len(sketch_pdf) else []
+    for key in keys:
+        sub = sketch_pdf
+        for g, kv in zip(group_cols, key):
+            sub = sub[_key_mask(sub, g, kv)]
+        sub = sub.sort_values("v")
+        cr = sub["c_ref"].to_numpy(dtype=np.int64)
+        cp = sub["c_prod"].to_numpy(dtype=np.int64)
+        n_ref, n_prod = int(cr.sum()), int(cp.sum())
+        if n_ref == 0:
+            verdicts.append(
+                (key, None, "Reference dataset contains only NaN/inf values")
+            )
+        elif n_prod == 0:
+            verdicts.append(
+                (key, None, "Production dataset contains only NaN/inf values")
+            )
+        else:
+            d = float(
+                np.max(np.abs(np.cumsum(cr) / n_ref - np.cumsum(cp) / n_prod))
+            )
+            verdicts.append(
+                (
+                    key,
+                    ks_verdict(d, n_ref, n_prod, threshold, column,
+                               method=config.ks_pvalue_method),
+                    None,
+                )
+            )
+    if not verdicts and not group_cols:
+        verdicts.append(
+            ((), None, "Reference dataset contains only NaN/inf values")
+        )
+    return verdicts
+
+
 def ks_test_grouped(
     ref_df: DataFrame,
     prod_df: DataFrame,
@@ -441,6 +496,19 @@ def ks_test_grouped(
         F.sum(F.when(F.col("side") == _REF, 1).otherwise(0)).alias("c_ref"),
         F.sum(F.when(F.col("side") == _PROD, 1).otherwise(0)).alias("c_prod"),
     )
+    # Adaptive plan (same probe as wasserstein_test_grouped): one job +
+    # driver ECDF sweep when the distinct-value set fits the cap, the fully
+    # distributed prefix-sum plan when it doesn't.
+    cap = config.sketch_collect_max_rows
+    if cap:
+        probe = per_value.limit(cap + 1).toPandas()
+        if len(probe) <= cap:
+            return _verdict_frame(
+                _ks_verdicts_from_sketch(
+                    probe, group_cols, column, threshold, config
+                ),
+                group_cols,
+            )
     cum = _cumulative_per_value(per_value, group_cols, ["c_ref", "c_prod"])
     stats = cum.groupBy(*group_cols).agg(
         F.max("total_c_ref").alias("n_ref"),
@@ -664,6 +732,87 @@ def hellinger_test(ref_df, prod_df, column, threshold=None, n_bins=None,
 # Wasserstein-1
 # ---------------------------------------------------------------------------
 
+def _w1_kernel(
+    v: np.ndarray,
+    cr: np.ndarray,
+    cp: np.ndarray,
+    threshold: float,
+    column: str,
+) -> tuple[DriftVerdict | None, str | None]:
+    """IQR-normalized W1 from one group's sorted (value, c_ref, c_prod) rows.
+
+    Same math as the distributed plan (CDF-gap integral over sorted distinct
+    union values, wasserstein.py:20-75 semantics): W1 = Σ |F_ref − F_prod|·Δv;
+    IQR / population-std / 1.0 normalization ladder from the SAME sketch
+    (exact weighted percentiles — Spark `percentile` parity ≤ 1 ulp).
+    """
+    n_ref, n_prod = int(cr.sum()), int(cp.sum())
+    if n_ref == 0 or n_prod == 0:
+        return None, "empty side after removing NaN/inf"
+    if len(v) > 1:
+        gap = np.abs(np.cumsum(cr) / n_ref - np.cumsum(cp) / n_prod)[:-1]
+        w1 = float(np.sum(gap * np.diff(v)))
+    else:
+        w1 = 0.0
+    ref_mask = cr > 0
+    q = _weighted_percentiles(
+        v[ref_mask], cr[ref_mask], np.array([0.25, 0.75])
+    )
+    iqr = float(q[1] - q[0])
+    if iqr < 1e-10:
+        mean = float(np.sum(v[ref_mask] * cr[ref_mask])) / n_ref
+        std = float(
+            np.sqrt(np.sum(cr[ref_mask] * (v[ref_mask] - mean) ** 2) / n_ref)
+        )
+        iqr = std or 1.0
+    score = w1 / iqr
+    return (
+        DriftVerdict(
+            test="wasserstein",
+            score=score,
+            threshold=threshold,
+            is_drifted=bool(score > threshold),
+            reference_size=n_ref,
+            production_size=n_prod,
+            feature_name=column,
+            details={"raw_distance": w1, "iqr": iqr},
+        ),
+        None,
+    )
+
+
+def _w1_verdicts_from_sketch(
+    sketch_pdf: pd.DataFrame,
+    group_cols: Sequence[str],
+    column: str,
+    threshold: float,
+) -> list[tuple[tuple, DriftVerdict | None, str | None]]:
+    """Per-group `_w1_kernel` over a collected per-value sketch."""
+    sketch_pdf = sketch_pdf[sketch_pdf["v"].notna()]
+    verdicts: list[tuple[tuple, DriftVerdict | None, str | None]] = []
+    if group_cols:
+        keys = (
+            sketch_pdf[list(group_cols)]
+            .drop_duplicates()
+            .itertuples(index=False, name=None)
+        )
+    else:
+        keys = [()] if len(sketch_pdf) else []
+    for key in keys:
+        sub = sketch_pdf
+        for g, kv in zip(group_cols, key):
+            sub = sub[_key_mask(sub, g, kv)]
+        sub = sub.sort_values("v")
+        v = sub["v"].to_numpy(dtype=np.float64)
+        cr = sub["c_ref"].to_numpy(dtype=np.int64)
+        cp = sub["c_prod"].to_numpy(dtype=np.int64)
+        verdict, err = _w1_kernel(v, cr, cp, threshold, column)
+        verdicts.append((key, verdict, err))
+    if not verdicts and not group_cols:
+        verdicts.append(((), None, "empty side after removing NaN/inf"))
+    return verdicts
+
+
 def wasserstein_test_grouped(
     ref_df: DataFrame,
     prod_df: DataFrame,
@@ -686,6 +835,22 @@ def wasserstein_test_grouped(
         F.sum(F.when(F.col("side") == _REF, 1).otherwise(0)).alias("c_ref"),
         F.sum(F.when(F.col("side") == _PROD, 1).otherwise(0)).alias("c_prod"),
     )
+    # Adaptive plan: ONE job (sketch -> bounded collect -> numpy kernel,
+    # IQR/std fused from the same sketch) when the distinct-value set fits
+    # the probe cap — the common case, and 3 fewer Spark jobs than the
+    # distributed path (no approxQuantile pass, no chunk windows, no
+    # percentile aggregation). A cap overflow means distinct ~ rows
+    # (continuous column at scale): fall through to the prefix-sum plan,
+    # whose every stage stays parallel, paying the probe as one extra
+    # aggregation pass only in that case.
+    cap = config.sketch_collect_max_rows
+    if cap:
+        probe = per_value.limit(cap + 1).toPandas()
+        if len(probe) <= cap:
+            verdicts = _w1_verdicts_from_sketch(
+                probe, group_cols, column, threshold
+            )
+            return _verdict_frame(verdicts, group_cols)
     cum = _cumulative_per_value(
         per_value, group_cols, ["c_ref", "c_prod"], with_next_value=True
     )
@@ -816,6 +981,89 @@ def _guarded_category_counts(
     return kept.unionByName(tail)
 
 
+def _phase1_folded_counts(
+    per_cat: DataFrame, group_cols: Sequence[str], cap: int
+) -> DataFrame:
+    """Phase 1 of the top-K guard as ONE conditional aggregation.
+
+    Ranks within each shuffle partition (parallel window — a row outside its
+    partition's top-K cannot be in the global top-K under the strict
+    (count desc, value asc) total order), then folds winners and losers in a
+    single groupBy: winners keep their own ``v`` key, losers collapse onto a
+    NULL key (``_sides`` filters NULL values, so NULL is free as a marker).
+    The ranked subtree is consumed exactly ONCE — no union, no second
+    window, no reliance on exchange reuse. Output is bounded by
+    groups x (shuffle_partitions x cap + 1) rows; phase 2 (the global
+    top-K among candidates) runs driver-side on the collected fold
+    (``_phase2_topk_pdf``) in the common case, or falls back to the
+    distributed ``_guarded_category_counts`` when the fold overflows the
+    collect probe.
+    """
+    gcols = [F.col(g) for g in group_cols]
+    order = [F.desc(F.col("c_ref") + F.col("c_prod")), F.col("v")]
+    w_local = Window.partitionBy(*gcols, F.col("_pid")).orderBy(*order)
+    ranked = per_cat.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_lr", F.row_number().over(w_local)
+    )
+    return ranked.groupBy(
+        *group_cols, F.when(F.col("_lr") <= cap, F.col("v")).alias("v")
+    ).agg(
+        F.sum("c_ref").alias("c_ref"),
+        F.sum("c_prod").alias("c_prod"),
+        F.count(F.lit(1)).alias("n_cats"),
+    )
+
+
+def _phase2_topk_pdf(
+    pdf: pd.DataFrame, group_cols: Sequence[str], cap: int
+) -> pd.DataFrame:
+    """Driver half of the top-K guard: global rank over the bounded fold.
+
+    Per group: sort candidates by (pooled count desc, value asc) — the same
+    strict total order as the partition-local rank — keep the top ``cap``,
+    fold the losers into the NULL-key tail row. Returns the exact schema the
+    distributed ``_guarded_category_counts`` collects: (group..., _is_other,
+    v, c_ref, c_prod, n_cats), at most groups x (cap + 1) rows.
+    """
+    out_rows: list[dict] = []
+    keys = (
+        pdf[list(group_cols)].drop_duplicates().itertuples(index=False, name=None)
+        if group_cols
+        else ([()] if len(pdf) else [])
+    )
+    for key in keys:
+        sub = pdf
+        for g, kv in zip(group_cols, key):
+            sub = sub[_key_mask(sub, g, kv)]
+        gdict = dict(zip(group_cols, key))
+        cand = sub[sub["v"].notna()].copy()
+        cand["_pooled"] = cand["c_ref"] + cand["c_prod"]
+        cand = cand.sort_values(
+            ["_pooled", "v"], ascending=[False, True], kind="mergesort"
+        )
+        winners = cand.iloc[:cap]
+        losers = cand.iloc[cap:]
+        tail = sub[sub["v"].isna()]
+        for _, r in winners.iterrows():
+            out_rows.append(
+                {**gdict, "_is_other": False, "v": r["v"],
+                 "c_ref": int(r["c_ref"]), "c_prod": int(r["c_prod"]),
+                 "n_cats": 1}
+            )
+        n_collapsed = int(tail["n_cats"].sum()) + len(losers)
+        if n_collapsed:
+            out_rows.append(
+                {**gdict, "_is_other": True, "v": None,
+                 "c_ref": int(tail["c_ref"].sum()) + int(losers["c_ref"].sum()),
+                 "c_prod": int(tail["c_prod"].sum()) + int(losers["c_prod"].sum()),
+                 "n_cats": n_collapsed}
+            )
+    return pd.DataFrame(
+        out_rows,
+        columns=[*group_cols, "_is_other", "v", "c_ref", "c_prod", "n_cats"],
+    )
+
+
 def _key_mask(sub: pd.DataFrame, g: str, kv):
     """NULL-safe group-key equality for the pandas finalize (NaN != NaN)."""
     if kv is None or (isinstance(kv, float) and np.isnan(kv)):
@@ -841,13 +1089,17 @@ def chi2_test_grouped(
     categories per group (by pooled count, ties broken by value) collect
     individually; the tail collapses into one logged ``__other__`` bucket,
     so the collect stays O(groups x K) regardless of column cardinality.
-    The top-K is two-phase distributed (``_guarded_category_counts``): a
-    parallel per-shuffle-partition rank prunes the data-proportional set,
-    then a bounded global rank (<= partitions x K rows per group through
-    its exchange) picks the winners — never a window over all distinct
-    values, one Spark action end-to-end. Under the cap the result is
-    identical to the unguarded test. For domains where even the distinct
-    set is huge (e.g. token ids) use the fixed-domain binned path
+    The top-K is two-phase: a parallel per-shuffle-partition rank prunes
+    the data-proportional set (phase 1, ``_phase1_folded_counts`` — one
+    conditional aggregation, ranked subtree consumed once), then the global
+    rank over the bounded candidate fold runs driver-side
+    (``_phase2_topk_pdf``) when the fold fits the collect probe — the
+    common case, one Spark job end-to-end — or distributed
+    (``_guarded_category_counts``) when it doesn't. Either way the global
+    rank touches <= partitions x K rows per group, never a window over all
+    distinct values, and under the cap the result is identical to the
+    unguarded test. For domains where even the distinct set is huge
+    (e.g. token ids) use the fixed-domain binned path
     (``histogram_kernel_from_counts``) instead.
     """
     threshold = config.chi2_threshold if threshold is None else threshold
@@ -860,7 +1112,21 @@ def chi2_test_grouped(
         F.sum(F.when(F.col("side") == _REF, 1).otherwise(0)).alias("c_ref"),
         F.sum(F.when(F.col("side") == _PROD, 1).otherwise(0)).alias("c_prod"),
     )
-    pdf = _guarded_category_counts(per_cat, group_cols, cap).toPandas()
+    # Adaptive phase 2: collect the bounded phase-1 fold and rank in the
+    # driver (one Spark job, ranked subtree consumed once) unless the fold
+    # overflows the probe cap — then the fully distributed two-phase plan.
+    probe_cap = config.sketch_collect_max_rows
+    folded = (
+        _phase1_folded_counts(per_cat, group_cols, cap)
+        .limit(probe_cap + 1)
+        .toPandas()
+        if probe_cap
+        else None
+    )
+    if folded is not None and len(folded) <= probe_cap:
+        pdf = _phase2_topk_pdf(folded, group_cols, cap)
+    else:
+        pdf = _guarded_category_counts(per_cat, group_cols, cap).toPandas()
     # preserve the reference's python str() coercion for kept categories
     pdf["v"] = np.where(
         pdf["_is_other"], "__other__", pdf["v"].astype(str)
@@ -973,9 +1239,9 @@ def fused_tests_from_sketch(
     column: str,
     config: EngineConfig = DEFAULT_CONFIG,
 ) -> dict[str, pd.DataFrame]:
-    """PSI + KS + JS grouped verdict frames from ONE collected sketch.
+    """PSI + KS + JS + W1 grouped verdict frames from ONE collected sketch.
 
-    Exactly reproduces the three *_test_grouped outputs (same scores and
+    Exactly reproduces the *_test_grouped outputs (same scores and
     error strings; groups with production data but an empty reference get
     PSI error rows rather than vanishing) while paying for one Spark job
     instead of five (PSI needs two passes standalone). Driver cost is
@@ -987,6 +1253,7 @@ def fused_tests_from_sketch(
     out_psi: list = []
     out_ks: list = []
     out_js: list = []
+    out_w1: list = []
     n_bins_psi = config.psi_bins
     n_bins_js = config.hist_bins
 
@@ -1054,6 +1321,11 @@ def fused_tests_from_sketch(
                 (key, js_from_counts(rc, pc, config.js_threshold, feature_name=column), None)
             )
 
+        # ---- W1 (wasserstein_test_grouped parity) ------------------------
+        out_w1.append(
+            (key, *_w1_kernel(v, cr, cp, config.wasserstein_threshold, column))
+        )
+
         # ---- PSI (psi_test_grouped parity) --------------------------------
         # a group with production data but an EMPTY reference (e.g. an
         # orphan partition absent from the baseline) reports an error row
@@ -1091,11 +1363,13 @@ def fused_tests_from_sketch(
     if not any_key and not group_cols:
         out_ks.append(((), None, "Reference dataset contains only NaN/inf values"))
         out_js.append(((), None, empty_ref_msg))
+        out_w1.append(((), None, "empty side after removing NaN/inf"))
 
     return {
         "psi": _verdict_frame(out_psi, group_cols),
         "ks": _verdict_frame(out_ks, group_cols),
         "jensen_shannon": _verdict_frame(out_js, group_cols),
+        "wasserstein": _verdict_frame(out_w1, group_cols),
     }
 
 

@@ -740,3 +740,104 @@ class TestFusedSketchParity:
         assert res.production_size == n
         # every category appears exactly once on each side -> no drift signal
         assert res.p_value > 0.9
+
+
+class TestAdaptiveSketchPlans:
+    """Round-4 adaptive plans: sketch-collect fast path == distributed plan.
+
+    KS and W1 try one bounded sketch-collect job and fall back to the
+    prefix-sum plan on cap overflow; chi2 ranks phase 2 driver-side when the
+    phase-1 fold fits the probe. Each pair of paths must be value-identical.
+    """
+
+    def _config(self, **kw):
+        from dataclasses import replace
+
+        from aumos_drift_detector_spark.config import DEFAULT_CONFIG
+
+        return replace(DEFAULT_CONFIG, **kw)
+
+    def test_wasserstein_sketch_matches_distributed(self, spark, value_df_factory):
+        rng = np.random.default_rng(5)
+        ref = value_df_factory(np.round(rng.lognormal(3, 1, 4000), 2))
+        prod = value_df_factory(np.round(rng.lognormal(3.2, 1.1, 3000), 2))
+        fast = drift.wasserstein_test(ref, prod, "value")
+        slow = drift.wasserstein_test(
+            ref, prod, "value", config=self._config(sketch_collect_max_rows=0)
+        )
+        assert fast.score == pytest.approx(slow.score, rel=1e-9)
+        assert fast.details["iqr"] == pytest.approx(slow.details["iqr"], rel=1e-9)
+        assert fast.details["raw_distance"] == pytest.approx(
+            slow.details["raw_distance"], rel=1e-9
+        )
+        assert (fast.reference_size, fast.production_size) == (
+            slow.reference_size, slow.production_size
+        )
+
+    def test_wasserstein_cap_overflow_falls_back(self, spark, value_df_factory):
+        # cap 10 << distinct values: the probe overflows and the distributed
+        # prefix-sum plan must produce the same verdict anyway
+        rng = np.random.default_rng(6)
+        vals = np.round(rng.normal(0, 1, 500), 3)
+        ref = value_df_factory(vals)
+        prod = value_df_factory(vals + 0.5)
+        tiny = drift.wasserstein_test(
+            ref, prod, "value", config=self._config(sketch_collect_max_rows=10)
+        )
+        full = drift.wasserstein_test(ref, prod, "value")
+        assert tiny.score == pytest.approx(full.score, rel=1e-9)
+
+    def test_ks_sketch_matches_distributed_grouped(self, spark):
+        rng = np.random.default_rng(7)
+        pdf = pd.DataFrame(
+            {
+                "g": rng.choice(["a", "b"], 3000),
+                "value": np.round(rng.normal(0, 1, 3000), 2),
+            }
+        )
+        ref = spark.createDataFrame(pdf)
+        prod = spark.createDataFrame(
+            pdf.assign(value=pdf["value"] * 1.3 + 0.1)
+        )
+        fast = drift.ks_test_grouped(ref, prod, "value", ("g",)).sort_values(
+            "g"
+        ).reset_index(drop=True)
+        slow = drift.ks_test_grouped(
+            ref, prod, "value", ("g",),
+            config=self._config(sketch_collect_max_rows=0),
+        ).sort_values("g").reset_index(drop=True)
+        assert list(fast["g"]) == list(slow["g"])
+        for c in ("score", "p_value"):
+            assert np.allclose(fast[c].astype(float), slow[c].astype(float),
+                               rtol=1e-12), c
+
+    def test_chi2_driver_phase2_matches_distributed(self, spark):
+        # cap 5 with ~40 distinct categories: losers + per-partition tails
+        # must fold into the same __other__ bucket on both phase-2 paths
+        from pyspark.sql import functions as F
+
+        ref = spark.range(4000).select((F.col("id") % 37).cast("string").alias("c"))
+        prod = spark.range(4000).select(((F.col("id") * 3) % 41).cast("string").alias("c"))
+        cfg_fast = self._config(chi2_max_categories=5)
+        cfg_slow = self._config(chi2_max_categories=5, sketch_collect_max_rows=0)
+        fast = drift.chi2_test(ref, prod, "c", config=cfg_fast)
+        slow = drift.chi2_test(ref, prod, "c", config=cfg_slow)
+        assert fast.details["categories"] == slow.details["categories"]
+        assert fast.details["statistic"] == pytest.approx(
+            slow.details["statistic"], rel=1e-12
+        )
+        assert fast.details["other_bucket_categories"] == (
+            slow.details["other_bucket_categories"]
+        )
+        assert fast.score == pytest.approx(slow.score, rel=1e-12)
+
+    def test_fused_sketch_includes_wasserstein(self, spark, value_df_factory):
+        rng = np.random.default_rng(8)
+        ref = value_df_factory(np.round(rng.normal(0, 1, 2000), 2))
+        prod = value_df_factory(np.round(rng.normal(0.4, 1, 2000), 2))
+        sketch = drift.per_value_sketch(ref, prod, "value").toPandas()
+        fused = drift.fused_tests_from_sketch(sketch, (), "value")
+        standalone = drift.wasserstein_test(ref, prod, "value")
+        row = fused["wasserstein"].iloc[0]
+        assert row["error"] is None
+        assert float(row["score"]) == pytest.approx(standalone.score, rel=1e-12)
