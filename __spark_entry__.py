@@ -511,11 +511,20 @@ def _q_selection_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W6: CUSUM change points per event_type — rows-only (sequential)."""
+    """W6: CUSUM change points per event_type.
+
+    Oracle-checked (round 4): the per-step two-sided CUSUM recurrence with
+    reset-on-exceed and min-separation reporting is replayed exactly by a
+    DuckDB recursive CTE (one recursion step per ordered row, all groups
+    advanced in lockstep) — see ``_CUSUM_SQL``. Accumulator types must be
+    DOUBLE on the SQL side (a bare ``0.0`` anchor would type them
+    DECIMAL(2,1) and truncate every step)."""
     from aumos_drift_detector_spark.operators.concept import cusum_grouped
 
     ev = _t(spark, sf_dir, "events")
-    return cusum_grouped(ev, ["event_type"], "event_id", "value")
+    return cusum_grouped(ev, ["event_type"], "event_id", "value").select(
+        "event_type", "change_index", "seq", F.round("value", 6).alias("value")
+    )
 
 
 def _q_forecast_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -680,10 +689,17 @@ def _q_alert_escalation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded hyperplane LSH near-dup pairs — rows-only (plane constants are
-    engine-specific; recall/precision parity is pytest-covered). Planted
-    exact duplicates (vec_id+10^7 copies of the first 20 vectors) guarantee
-    a non-trivial result set."""
+    """Banded hyperplane LSH near-dup pairs + exact-cosine verification.
+
+    Oracle-checked (round 4): DuckDB recomputes the full brute-force pair
+    set at the 0.95 threshold (``_EMBEDDING_NEARDUP_SQL``) — at sf0.01 the
+    only pairs above threshold are the planted exact duplicates
+    (vec_id+10^7 copies of the first 20 vectors; max organic cosine 0.51),
+    which identical-signature LSH candidates catch with probability 1, so
+    the LSH+verify output must equal the exact set: the oracle hard-verifies
+    the exact-cosine verification stage (and candidate recall on this data).
+    Embeddings cast to double on BOTH sides so the dot products agree to
+    ~1e-15 (float32 accumulation could flip round-6)."""
     from aumos_drift_detector_spark.operators.dedup import embedding_near_duplicates
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -1359,11 +1375,88 @@ SELECT 'embedding' AS feature,
        (SELECT n FROM nm)::BIGINT AS n_ref,
        (SELECT m FROM nm)::BIGINT AS n_prod
 """,
-        # adwin_events, minhash_pairs, simhash_pairs,
-        # cusum_events, cbpe_estimate, dle_loss,
-        # embedding_neardup, multivariate_drift: rows-only (sequential state
+        "cusum_events": _CUSUM_SQL,
+        "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
+        # adwin_events, minhash_pairs, simhash_pairs, cbpe_estimate,
+        # dle_loss, multivariate_drift: rows-only (sequential state
         # machines, seeded GBT/bootstrap/SVD, engine-specific hash constants)
     }
+
+
+# CUSUM: deterministic per-step recurrence (normalize by global mean/sample
+# std, two-sided accumulators with k=0.5 drift allowance, reset on exceed,
+# report when > min_separation apart — trend_analyzer.py:577-636). A DuckDB
+# recursive CTE replays it exactly: one recursion level per ordered row,
+# every event_type advanced in lockstep via the idx+1 join. The pos/neg
+# anchors MUST be CAST(0.0 AS DOUBLE): a bare 0.0 literal types the
+# accumulator column DECIMAL(2,1), silently rounding every step to one
+# decimal (measured: 4 flipped change points at sf0.01).
+_CUSUM_SQL = """
+WITH RECURSIVE
+ev AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1 AS idx,
+         event_id, value::DOUBLE AS v
+  FROM events WHERE value IS NOT NULL
+),
+stats AS (
+  SELECT event_type, avg(v) AS mean,
+         CASE WHEN coalesce(stddev_samp(v), 0) = 0 THEN 1.0
+              ELSE stddev_samp(v) END AS std,
+         count(*) AS n
+  FROM ev GROUP BY event_type
+),
+z AS (
+  SELECT ev.event_type, ev.idx, ev.event_id, ev.v, (ev.v - s.mean) / s.std AS z
+  FROM ev JOIN stats s USING (event_type) WHERE s.n >= 5
+),
+rec AS (
+  SELECT event_type, CAST(-1 AS BIGINT) AS idx,
+         CAST(0.0 AS DOUBLE) AS pos, CAST(0.0 AS DOUBLE) AS neg,
+         CAST(-4 AS BIGINT) AS last, FALSE AS hit
+  FROM stats WHERE n >= 5
+  UNION ALL
+  SELECT z.event_type, z.idx,
+    CASE WHEN s.exceeded THEN 0.0 ELSE s.np END,
+    CASE WHEN s.exceeded THEN 0.0 ELSE s.nn END,
+    CASE WHEN s.exceeded AND z.idx - r.last > 3 THEN z.idx ELSE r.last END,
+    s.exceeded AND z.idx - r.last > 3
+  FROM rec r
+  JOIN z ON z.event_type = r.event_type AND z.idx = r.idx + 1
+  CROSS JOIN LATERAL (
+    SELECT greatest(0.0, r.pos + z.z - 0.5) AS np,
+           greatest(0.0, r.neg - z.z - 0.5) AS nn,
+           greatest(0.0, r.pos + z.z - 0.5) > 4.0
+             OR greatest(0.0, r.neg - z.z - 0.5) > 4.0 AS exceeded
+  ) s
+)
+SELECT r.event_type, r.idx AS change_index, z.event_id AS seq,
+       round(z.v, 6) AS value
+FROM rec r JOIN z ON z.event_type = r.event_type AND z.idx = r.idx
+WHERE r.hit
+ORDER BY r.event_type, r.idx
+"""
+
+
+# Embedding near-dup: brute-force exact-cosine pair set at the threshold.
+# Embeddings cast FLOAT[] -> DOUBLE[] so list_dot_product accumulates in
+# double like the Spark side's cast("double") aggregates.
+_EMBEDDING_NEARDUP_SQL = """
+WITH both_v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000000 AS vec_id, embedding::DOUBLE[] AS e
+  FROM embeddings WHERE vec_id < 20
+),
+norms AS (
+  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM both_v
+)
+SELECT a.vec_id::BIGINT AS id_a, b.vec_id::BIGINT AS id_b,
+       round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine
+FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.95
+ORDER BY id_a, id_b
+"""
 
 
 # chi2: DuckDB lacks the incomplete gamma for the p-value, so the oracle
@@ -1374,10 +1467,20 @@ def _q_chi2_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aumos_drift_detector_spark.functions.kernels import chi2_from_counts
 
     orders = _t(spark, sf_dir, "orders")
-    ref = orders.where(F.col("o_orderstatus") == "F")
-    prod = orders.where(F.col("o_orderstatus") == "O")
-    rc = {r[0]: r[1] for r in ref.groupBy("o_orderpriority").count().collect()}
-    pc = {r[0]: r[1] for r in prod.groupBy("o_orderpriority").count().collect()}
+    # ONE scan: both sides' category counts from a single conditional
+    # aggregation (was two collect jobs = two scans of orders; r3 BENCH
+    # showed the doubled scan as the whole wall)
+    counts = (
+        orders.where(F.col("o_orderstatus").isin("F", "O"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum((F.col("o_orderstatus") == "F").cast("long")).alias("c_ref"),
+            F.sum((F.col("o_orderstatus") == "O").cast("long")).alias("c_prod"),
+        )
+        .collect()
+    )
+    rc = {r["o_orderpriority"]: r["c_ref"] for r in counts if r["c_ref"]}
+    pc = {r["o_orderpriority"]: r["c_prod"] for r in counts if r["c_prod"]}
     cats = sorted(set(rc) | set(pc))
     v = chi2_from_counts(cats, [rc.get(c, 0) for c in cats], [pc.get(c, 0) for c in cats])
     schema = T.StructType(

@@ -4,13 +4,14 @@ Media payloads are opaque ``binary`` columns with a typed metadata struct —
 the storage/partitioning/UDF-batching side is fully real. Codec coverage is
 split honestly:
 
-- REAL decoders (pure stdlib/numpy, fully tested end-to-end): PPM (P6) and
-  uncompressed 24-bit BMP images; PCM WAV audio (via the stdlib ``wave``
-  module) with RMS / zero-crossing / duration features and nearest-neighbour
-  resize.
-- Compressed codecs (PNG/JPEG/h264/mp3) raise ``DecoderUnavailable`` —
-  PIL/ffmpeg are not in this container; swapping them in changes ONLY the
-  inner decode call, never the distributed plan.
+- REAL decoders (pure stdlib/numpy, fully tested end-to-end): PNG (8-bit
+  gray/RGB/palette/RGBA, filters 0-4, zlib inflate — RFC 2083), PPM (P6)
+  and uncompressed 24-bit BMP images; PCM WAV audio (via the stdlib
+  ``wave`` module) with RMS / zero-crossing / duration features and
+  nearest-neighbour resize.
+- Codecs needing external libraries (JPEG/h264/mp3) raise
+  ``DecoderUnavailable`` — PIL/ffmpeg are not in this container; swapping
+  them in changes ONLY the inner decode call, never the distributed plan.
 - A sha256-seeded deterministic fake decoder remains for tests that need
   stable "pixels" from arbitrary payloads.
 
@@ -71,8 +72,10 @@ def decode_image_real(payload: bytes) -> np.ndarray:
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp24(payload)
+    if payload[:8] == _PNG_SIGNATURE:
+        return _decode_png(payload)
     raise DecoderUnavailable(
-        "only PPM(P6)/BMP24 decode in-container; PNG/JPEG need PIL/opencv"
+        "only PPM(P6)/BMP24/PNG decode in-container; JPEG needs PIL/opencv"
     )
 
 
@@ -96,6 +99,185 @@ def _decode_ppm(payload: bytes) -> np.ndarray:
         raise DecoderUnavailable("only 8-bit PPM supported")
     px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
     return px.reshape(h, w, 3)
+
+
+_PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(payload: bytes):
+    """Yield (type, data) for each PNG chunk (layout per RFC 2083 §3.2)."""
+    import struct
+
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        yield ctype, payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IEND":
+            break
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decode (zlib inflate + per-row filter reversal).
+
+    Supports the common non-interlaced 8-bit-depth color types: grayscale
+    (0), RGB (2), palette (3), gray+alpha (4), RGBA (6); filter types 0-4
+    per RFC 2083 §6. Adam7 interlace and bit depths != 8 raise
+    ``DecoderUnavailable`` (rare in training corpora; a PIL swap-in covers
+    them without touching the distributed plan). Output is (h, w, 3) uint8
+    — palette expanded, gray broadcast, alpha dropped — matching the
+    PPM/BMP decoders.
+    """
+    import struct
+    import zlib
+
+    ihdr = None
+    palette = None
+    idat = bytearray()
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+    if ihdr is None or not idat:
+        raise DecoderUnavailable("PNG missing IHDR/IDAT chunks")
+    w, h, depth, color, compression, filter_method, interlace = ihdr
+    if depth != 8 or compression != 0 or filter_method != 0 or interlace != 0:
+        raise DecoderUnavailable(
+            "only 8-bit non-interlaced PNG supported in-container"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise DecoderUnavailable(f"unknown PNG color type {color}")
+    if color == 3 and palette is None:
+        raise DecoderUnavailable("palette PNG without PLTE chunk")
+
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise DecoderUnavailable("PNG IDAT shorter than h x (stride + 1)")
+    bpp = channels  # bytes per pixel at depth 8
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1)
+        if ftype == 0:  # None
+            cur = row.astype(np.int32)
+        elif ftype == 2:  # Up
+            cur = (row.astype(np.int32) + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential in-row
+            cur = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                up = int(prev[i])
+                ul = int(prev[i - bpp]) if i >= bpp else 0
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + up) >> 1
+                else:  # Paeth predictor (RFC 2083 §6.6)
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    if pa <= pb and pa <= pc:
+                        pred = left
+                    elif pb <= pc:
+                        pred = up
+                    else:
+                        pred = ul
+                cur[i] = (int(row[i]) + pred) & 0xFF
+        else:
+            raise DecoderUnavailable(f"unknown PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+
+    px = out.reshape(h, w, channels)
+    if color == 0:
+        return np.repeat(px, 3, axis=2)
+    if color == 2:
+        return px
+    if color == 3:
+        return palette[px[:, :, 0]]
+    if color == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3].copy()  # RGBA -> RGB
+
+
+def encode_png(
+    img: np.ndarray, filter_type: int | str = 0, color: str = "rgb"
+) -> bytes:
+    """Minimal PNG encoder (test/round-trip companion to ``_decode_png``).
+
+    ``filter_type``: a fixed per-row filter 0-4, or ``"mixed"`` to cycle
+    through all five (exercises every reversal branch). ``color``: "rgb"
+    for (h, w, 3) input, "gray" for (h, w). Standard chunk layout with
+    zlib CRCs — public-knowledge RFC 2083 structure, no codec deps.
+    """
+    import struct
+    import zlib
+
+    img = np.asarray(img, dtype=np.uint8)
+    if color == "gray":
+        h, w = img.shape
+        channels, ctype = 1, 0
+        flat = img.reshape(h, w)
+    else:
+        h, w, _ = img.shape
+        channels, ctype = 3, 2
+        flat = img.reshape(h, w * 3)
+    stride = w * channels
+    bpp = channels
+
+    def forward_filter(ft: int, row: np.ndarray, prev: np.ndarray) -> np.ndarray:
+        row32 = row.astype(np.int32)
+        out = np.zeros(stride, dtype=np.int32)
+        for i in range(stride):
+            left = int(row32[i - bpp]) if i >= bpp else 0
+            up = int(prev[i])
+            ul = int(prev[i - bpp]) if i >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = left
+            elif ft == 2:
+                pred = up
+            elif ft == 3:
+                pred = (left + up) >> 1
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+            out[i] = (int(row32[i]) - pred) & 0xFF
+        return out.astype(np.uint8)
+
+    scan = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = (y % 5) if filter_type == "mixed" else int(filter_type)
+        row = flat[y]
+        scan.append(ft)
+        scan += forward_filter(ft, row, prev).tobytes()
+        prev = row.astype(np.int32)
+
+    def chunk(ctype_b: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype_b
+            + data
+            + struct.pack(">I", zlib.crc32(ctype_b + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + chunk(b"IEND", b"")
+    )
 
 
 def _decode_bmp24(payload: bytes) -> np.ndarray:

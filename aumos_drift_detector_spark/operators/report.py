@@ -240,6 +240,100 @@ def build_heatmap(
     }
 
 
+def build_time_series(
+    history_df: DataFrame,
+    feature_col: str = "feature",
+    ts_col: str = "ts",
+    score_col: str = "score",
+) -> dict[str, list[dict]]:
+    """Serializable per-feature drift-score time series
+    (report_generator.py:687-706 `_build_time_series` parity).
+
+    Input is the distributed results-history table (feature, ts, score);
+    output is {feature: [{"timestamp": iso, "score": float}, ...]} with each
+    feature's points sorted by timestamp — exactly the reference's
+    serialization. One grouped aggregation collects (features x timestamps)
+    cells; like the heatmap, a visualization payload is driver-sized by
+    definition.
+    """
+    rows = (
+        history_df.where(
+            F.col(feature_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .groupBy(feature_col, ts_col)
+        .agg(F.max(score_col).alias("score"))
+        .collect()
+    )
+    out: dict[str, list[dict]] = {}
+    for r in sorted(rows, key=lambda r: (str(r[feature_col]), r[ts_col])):
+        out.setdefault(str(r[feature_col]), []).append(
+            {
+                "timestamp": r[ts_col].isoformat(),
+                "score": float(r["score"] or 0.0),
+            }
+        )
+    return out
+
+
+def pdf_placeholder(report: dict) -> str:
+    """Structured-text PDF placeholder (report_generator.py:466-516 parity:
+    the reference also only emits a text block — full PDF rendering needs
+    reportlab/WeasyPrint, absent there and here; header/section layout and
+    per-feature line format match field-for-field).
+
+    ``report`` is the dict produced by ``build_drift_report`` plus the
+    metadata keys used below; missing keys render as ``None`` rather than
+    raising, mirroring the reference's attribute access on a fully-populated
+    dataclass.
+    """
+    perf = report.get("performance_impact", {})
+    lines: list[str] = [
+        "=" * 80,
+        "AUMOS DRIFT DETECTOR — DRIFT ASSESSMENT REPORT",
+        "=" * 80,
+        f"Report ID:    {report.get('report_id')}",
+        f"Monitor ID:   {report.get('monitor_id')}",
+        f"Model ID:     {report.get('model_id')}",
+        f"Generated At: {report.get('generated_at')}",
+        f"Period:       {report.get('period_start')} → {report.get('period_end')}",
+        "",
+        "EXECUTIVE SUMMARY",
+        "-" * 40,
+        str(report.get("executive_summary", "")),
+        "",
+        "OVERALL RECOMMENDATION",
+        "-" * 40,
+        f"Action:  {str(report.get('overall_recommended_action', '')).upper()}",
+        f"Drifted: {report.get('drifted_feature_count')} / "
+        f"{report.get('total_features_monitored')} features",
+        "",
+        "PERFORMANCE IMPACT",
+        "-" * 40,
+        f"Risk Level:              {str(perf.get('risk_level', '')).upper()}",
+        f"Baseline Accuracy:       {perf.get('baseline_accuracy')}",
+        f"Current Accuracy:        {perf.get('current_accuracy')}",
+        f"Accuracy Delta:          {perf.get('accuracy_delta')}",
+        f"Drift Contribution:      {float(perf.get('estimated_drift_contribution', 0.0)):.1%}",
+        "",
+        "PER-FEATURE ASSESSMENT",
+        "-" * 40,
+    ]
+    assessments = sorted(
+        report.get("feature_assessments", []),
+        key=lambda a: a.get("importance_rank", 0),
+    )
+    for a in assessments:
+        lines.append(
+            f"  [{a.get('importance_rank', 0):2d}] {a.get('feature_name', ''):<30} "
+            f"score={float(a.get('drift_score', 0.0)):.4f}  "
+            f"threshold={float(a.get('threshold', 0.0)):.4f}  "
+            f"{'DRIFTED' if a.get('is_drifted') else 'OK':<8}  "
+            f"action={a.get('recommended_action', '')}"
+        )
+    lines.extend(["", "=" * 80])
+    return "\n".join(lines)
+
+
 def executive_summary(
     drifted_count: int,
     total_features: int,

@@ -147,6 +147,25 @@ def _bandwidth_scaling_factor(low: int, high: int, n: int = 12_500_000) -> float
     return measure(high) / measure(low)
 
 
+def contention_snapshot() -> dict:
+    """Host-contention index for deconfounding BENCH numbers.
+
+    This shared host swings identical-plan walls 3-8x between runs (r3:
+    driver measured ks at 6.50s the same day the interleaved-min protocol
+    measured 2.67s). Two cheap signals let a reader attribute a bad number
+    to the host without re-running: the 1/5/15-min load averages and the
+    wall of a fixed single-thread python burn (~0.25s on this host idle;
+    scales directly with CPU steal/contention).
+    """
+    t0 = time.monotonic()
+    _burn(3_000_000)
+    burn = round(time.monotonic() - t0, 3)
+    return {
+        "load_avg": [round(x, 2) for x in os.getloadavg()],
+        "single_core_burn_sec": burn,
+    }
+
+
 def ensure_token_data() -> tuple[str, str]:
     """Generate the deterministic synthetic token tables once (cached)."""
     from aumos_drift_detector_spark.sources.synth import fast_token_parquet
@@ -269,6 +288,7 @@ def main() -> None:
     if scaling:
         import subprocess
 
+        result["contention_start"] = contention_snapshot()
         levels = [8, 16, 32]  # N, 2N, 4N: a 3-point curve, not one ratio
         repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
         runs: dict[int, dict] = {}
@@ -332,8 +352,11 @@ def main() -> None:
         }
         result["value"] = runs[32]["wall_sec"]
         result["queries"] = {}
+        result["contention_end"] = contention_snapshot()
         print(json.dumps(result))
         return
+
+    result["contention_start"] = contention_snapshot()
 
     spark = make_session(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
@@ -365,6 +388,7 @@ def main() -> None:
     qtimes["validation_pass"] = round(wall, 3)
     result["queries"] = qtimes
     result["value"] = round(sum(qtimes.values()), 3)
+    result["contention_end"] = contention_snapshot()
     result["scaling_ref"] = (
         "run `python bench.py --scaling` for the live 8-vs-32-core "
         "measurement; full protocol + hardware calibration in BASELINE.md"

@@ -257,7 +257,84 @@ class TestMultimodal:
 
     def test_compressed_codecs_gated(self):
         with pytest.raises(multimodal.DecoderUnavailable):
-            multimodal.decode_image_real(b"\x89PNG\r\n")  # PNG: no codec here
+            multimodal.decode_image_real(b"\xff\xd8\xff\xe0JFIF")  # JPEG stub
+        with pytest.raises(multimodal.DecoderUnavailable):
+            multimodal.decode_image_real(b"\x89PNG\r\n")  # truncated signature
+
+    def test_png_roundtrip_all_filters(self):
+        """RFC 2083 decode: filter-0 scanlines ARE the raw pixels (ground
+        truth for the chunk/zlib path); filters 1-4 and the mixed cycle
+        verify each reversal against the independently-implemented forward
+        filters in encode_png."""
+        rng = np.random.default_rng(9)
+        img = rng.integers(0, 256, size=(23, 17, 3), dtype=np.uint8)
+        for ft in [0, 1, 2, 3, 4, "mixed"]:
+            got = multimodal.decode_image_real(
+                multimodal.encode_png(img, filter_type=ft)
+            )
+            np.testing.assert_array_equal(got, img)
+
+    def test_png_gradient_favors_nontrivial_predictors(self):
+        # smooth gradients make Sub/Average/Paeth predictions non-zero
+        # almost everywhere — a reversal bug cannot cancel out
+        y, x = np.mgrid[0:31, 0:29]
+        img = np.stack(
+            [(y * 7) % 256, (x * 5) % 256, (y * 3 + x * 2) % 256], axis=2
+        ).astype(np.uint8)
+        for ft in [1, 3, 4]:
+            got = multimodal.decode_image_real(
+                multimodal.encode_png(img, filter_type=ft)
+            )
+            np.testing.assert_array_equal(got, img)
+
+    def test_png_gray_and_unsupported_variants(self):
+        rng = np.random.default_rng(10)
+        g = rng.integers(0, 256, size=(9, 11), dtype=np.uint8)
+        got = multimodal.decode_image_real(
+            multimodal.encode_png(g, filter_type="mixed", color="gray")
+        )
+        assert got.shape == (9, 11, 3)
+        np.testing.assert_array_equal(got[:, :, 0], g)
+        np.testing.assert_array_equal(got[:, :, 1], g)
+        # 16-bit depth stays honestly gated
+        import struct
+        import zlib
+
+        def chunk(ct, data):
+            return (
+                struct.pack(">I", len(data)) + ct + data
+                + struct.pack(">I", zlib.crc32(ct + data) & 0xFFFFFFFF)
+            )
+
+        deep = (
+            multimodal._PNG_SIGNATURE
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(multimodal.DecoderUnavailable, match="8-bit"):
+            multimodal.decode_image_real(deep)
+
+    def test_png_feature_extraction_end_to_end(self, spark):
+        """extract_features over REAL PNG payloads — decode inside the
+        mapInPandas batch is the genuine zlib+filter path."""
+        rng = np.random.default_rng(11)
+        rows = []
+        for k in range(4):
+            img = rng.integers(0, 256, size=(12, 16, 3), dtype=np.uint8)
+            rows.append(
+                (f"p{k}", "image",
+                 bytearray(multimodal.encode_png(img, filter_type="mixed")),
+                 (16, 12, None, None, "png"))
+            )
+        media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+        feats = (
+            multimodal.extract_features(media, use_fake_decoder=False)
+            .toPandas()
+            .sort_values("doc_id")
+        )
+        assert len(feats) == 4
+        assert ((feats["feat_mean"] >= 0) & (feats["feat_mean"] <= 1)).all()
 
     def test_real_ppm_roundtrip_and_resize(self):
         rng = np.random.default_rng(4)
@@ -417,3 +494,50 @@ class TestIvfIndex:
         cells = {r["_cell"] for r in loaded.assigned.where(
             F.col("vec_id").isin([int(v) for v in rows["vec_id"]])).collect()}
         assert cells <= set(loaded.probe_cells(q, 2))
+
+    def test_loaded_probe_scans_only_probed_cell_files(
+        self, spark, ivf_data, tmp_path
+    ):
+        """Physical pruning proof (round-4 directive): a loaded index's probe
+        reads ONLY files under the probed cells' partition directories, and
+        the parquet scan carries the _cell partition filter — guards the
+        100-TB claim in similarity.py (write-time clustering, read-time
+        pruning)."""
+        df, vecs = ivf_data
+        from aumos_drift_detector_spark.operators.similarity import (
+            IvfIndex,
+            build_ivf_index,
+        )
+
+        idx = build_ivf_index(df, "embedding", "vec_id", n_cells=8)
+        path = str(tmp_path / "ivf_prune")
+        idx.save(path)
+        loaded = IvfIndex.load(spark, path, "embedding", "vec_id")
+        q = vecs[7]
+        probed = loaded.probe_cells(q, 2)
+        pruned = loaded.assigned.where(F.col("_cell").isin(probed))
+
+        files = {
+            r["f"]
+            for r in pruned.select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        }
+        all_files = {
+            r["f"]
+            for r in spark.read.parquet(f"{path}/cells")
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        }
+        assert files, "probe scanned no files"
+        assert all(
+            any(f"_cell={c}/" in f for c in probed) for f in files
+        ), files
+        assert len(files) < len(all_files)
+
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        # and the search result over the pruned frame is still well-formed
+        got = loaded.search(q, k=5, n_probe=2).toPandas()
+        assert len(got) == 5

@@ -138,3 +138,57 @@ def test_weighted_percentiles_match_numpy_expansion(cnts, rnd):
     expanded = np.repeat(vals, c)
     want = np.percentile(expanded, probs * 100)
     assert got == pytest.approx(want.tolist(), abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Distributed prefix-sum AUC vs midrank oracle (round-4 directive: the r3
+# chunk-id determinism bug was caught by review, not tests — this pins the
+# midrank identity under adversarial tie distributions). Spark is involved,
+# so each hypothesis example carries a BATCH of up to 8 independent groups
+# through ONE job: 25 examples x 8 groups ≈ 200 adversarial distributions
+# at ~25 Spark jobs of cost.
+# ---------------------------------------------------------------------------
+
+_auc_group = st.tuples(
+    st.lists(st.integers(0, 3), min_size=1, max_size=30),  # score codes (ties!)
+    st.lists(st.integers(0, 1), min_size=1, max_size=30),  # labels
+)
+
+
+@settings(max_examples=25, deadline=None)
+@example([([0, 0, 0, 0], [1, 1, 0, 0])])          # single distinct score
+@example([([1, 1, 1], [1, 1, 1])])                # all-positive group
+@example([([2, 2, 2], [0, 0, 0])])                # all-negative group
+@example([([0, 1, 0, 1, 0, 1], [0, 1, 1, 0, 1, 0]), ([3], [1])])
+@given(st.lists(_auc_group, min_size=1, max_size=8))
+def test_prefix_sum_auc_matches_midrank_oracle(spark, groups):
+    import pandas as pd
+
+    from aumos_drift_detector_spark.operators.perfmon import auc_binary
+
+    rows = []
+    for gi, (codes, labels) in enumerate(groups):
+        n = min(len(codes), len(labels))
+        for c, l in zip(codes[:n], labels[:n]):
+            rows.append((f"g{gi}", c / 4.0, float(l)))
+    df = spark.createDataFrame(rows, "g string, score double, y_true double")
+    got = (
+        auc_binary(df, ("g",), label_col="y_true", score_col="score")
+        .toPandas()
+        .set_index("g")
+    )
+    pdf = pd.DataFrame(rows, columns=["g", "score", "y"])
+    assert set(got.index) == set(pdf["g"].unique())
+    for g, sub in pdf.groupby("g"):
+        n_pos = int((sub["y"] == 1).sum())
+        n_neg = int((sub["y"] == 0).sum())
+        row = got.loc[g]
+        assert int(row["n_pos"]) == n_pos and int(row["n_neg"]) == n_neg
+        if n_pos == 0 or n_neg == 0:
+            assert pd.isna(row["auc"])  # try_divide null, never a crash
+            continue
+        ranks = sub["score"].rank(method="average")
+        want = (float(ranks[sub["y"] == 1].sum()) - n_pos * (n_pos + 1) / 2) / (
+            n_pos * n_neg
+        )
+        assert float(row["auc"]) == pytest.approx(want, abs=1e-12)

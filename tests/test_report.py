@@ -237,3 +237,86 @@ class TestBeeswarm:
         prod = spark.createDataFrame([(1.5,), (2.5,)], ["f1"])
         out = beeswarm_data(ref, prod, ["f1"], {}, samples_per_feature=10)
         assert out == {}  # no importance entry -> skipped (reference parity)
+
+
+class TestTimeSeriesAndPdf:
+    def test_build_time_series_matches_reference_shape(self, spark):
+        """report_generator.py:687-706: {feature: [{timestamp, score}...]}
+        sorted by timestamp per feature."""
+        from datetime import datetime
+
+        from aumos_drift_detector_spark.operators.report import build_time_series
+
+        rows = [
+            ("f1", datetime(2026, 1, 2, 10), 0.3),
+            ("f1", datetime(2026, 1, 1, 10), 0.1),
+            ("f2", datetime(2026, 1, 1, 10), 0.9),
+            ("f1", datetime(2026, 1, 3, 10), 0.5),
+        ]
+        df = spark.createDataFrame(rows, "feature string, ts timestamp, score double")
+        ts = build_time_series(df)
+        assert set(ts) == {"f1", "f2"}
+        assert [p["score"] for p in ts["f1"]] == [0.1, 0.3, 0.5]  # time-sorted
+        assert ts["f1"][0]["timestamp"] == "2026-01-01T10:00:00"
+        assert ts["f2"] == [{"timestamp": "2026-01-01T10:00:00", "score": 0.9}]
+
+    def test_build_time_series_dedups_on_max_and_skips_nulls(self, spark):
+        from datetime import datetime
+
+        from aumos_drift_detector_spark.operators.report import build_time_series
+
+        rows = [
+            ("f1", datetime(2026, 1, 1), 0.2),
+            ("f1", datetime(2026, 1, 1), 0.7),   # same stamp: keep max
+            (None, datetime(2026, 1, 1), 0.9),   # null feature: dropped
+            ("f1", None, 0.9),                   # null ts: dropped
+        ]
+        df = spark.createDataFrame(rows, "feature string, ts timestamp, score double")
+        ts = build_time_series(df)
+        assert ts == {"f1": [{"timestamp": "2026-01-01T00:00:00", "score": 0.7}]}
+
+    def test_pdf_placeholder_layout(self):
+        """report_generator.py:466-516 text layout: banner, section rules,
+        per-feature lines sorted by importance rank."""
+        from aumos_drift_detector_spark.operators.report import pdf_placeholder
+
+        report = {
+            "report_id": "r-1",
+            "monitor_id": "m-1",
+            "model_id": "model-x",
+            "generated_at": "2026-08-17T00:00:00",
+            "period_start": "2026-08-16T00:00:00",
+            "period_end": "2026-08-17T00:00:00",
+            "executive_summary": "No data drift was detected.",
+            "overall_recommended_action": "monitor",
+            "drifted_feature_count": 1,
+            "total_features_monitored": 2,
+            "performance_impact": {
+                "risk_level": "low",
+                "baseline_accuracy": 0.9,
+                "current_accuracy": 0.88,
+                "accuracy_delta": -0.02,
+                "estimated_drift_contribution": 0.25,
+            },
+            "feature_assessments": [
+                {"importance_rank": 2, "feature_name": "f2", "drift_score": 0.01,
+                 "threshold": 0.2, "is_drifted": False, "recommended_action": "ignore"},
+                {"importance_rank": 1, "feature_name": "f1", "drift_score": 0.31,
+                 "threshold": 0.2, "is_drifted": True, "recommended_action": "retrain"},
+            ],
+        }
+        text = pdf_placeholder(report)
+        lines = text.splitlines()
+        assert lines[0] == "=" * 80
+        assert lines[1] == "AUMOS DRIFT DETECTOR — DRIFT ASSESSMENT REPORT"
+        assert "Report ID:    r-1" in text
+        assert "Action:  MONITOR" in text
+        assert "Drifted: 1 / 2 features" in text
+        assert "Risk Level:              LOW" in text
+        assert "Drift Contribution:      25.0%" in text
+        f_lines = [l for l in lines if l.lstrip().startswith("[")]
+        assert f_lines[0].lstrip().startswith("[ 1] f1")  # rank-sorted
+        assert "DRIFTED" in f_lines[0] and "action=retrain" in f_lines[0]
+        assert "score=0.3100" in f_lines[0] and "threshold=0.2000" in f_lines[0]
+        assert f_lines[1].lstrip().startswith("[ 2] f2") and "OK" in f_lines[1]
+        assert lines[-1] == "=" * 80
