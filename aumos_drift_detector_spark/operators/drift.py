@@ -322,6 +322,27 @@ def psi_test_grouped(
     threshold = config.psi_threshold if threshold is None else threshold
     n_bins = config.psi_bins if n_bins is None else n_bins
 
+    # Adaptive plan (same probe as KS/W1): PSI standalone normally pays TWO
+    # distributed passes (quantile edges, then histogram-vs-edges); when the
+    # per-value sketch fits the collect cap, ONE job + the fused-path driver
+    # kernel (exact weighted-percentile edges + searchsorted binning —
+    # Spark-percentile parity verified bitwise on the sketch) replaces both.
+    cap = config.sketch_collect_max_rows
+    if cap:
+        sides = _sides(ref_df, prod_df, column, group_cols)
+        per_value = sides.groupBy(*group_cols, "v").agg(
+            F.sum(F.when(F.col("side") == _REF, 1).otherwise(0)).alias("c_ref"),
+            F.sum(F.when(F.col("side") == _PROD, 1).otherwise(0)).alias("c_prod"),
+        )
+        probe = per_value.limit(cap + 1).toPandas()
+        if len(probe) <= cap:
+            return _verdict_frame(
+                _psi_verdicts_from_sketch(
+                    probe, group_cols, column, threshold, n_bins
+                ),
+                group_cols,
+            )
+
     edges = (
         quantile_edges_selection(ref_df, column, n_bins, group_cols, config)
         if (not config.approx and config.exact_quantile_plan == "selection")
@@ -399,6 +420,79 @@ def psi_test_grouped(
         v = psi_from_counts(rc, pc, threshold, bin_edges=edges_arr, feature_name=column)
         verdicts.append((key, v, None))
     return _verdict_frame(verdicts, group_cols)
+
+
+def _psi_kernel(
+    v: np.ndarray,
+    cr: np.ndarray,
+    cp: np.ndarray,
+    n_bins: int,
+    threshold: float,
+    column: str,
+) -> tuple[DriftVerdict | None, str | None]:
+    """PSI from one group's sorted per-value sketch: exact weighted-percentile
+    edges from the reference counts (Spark `percentile` parity — verified
+    bitwise over (value, count) sketches), searchsorted binning, then the
+    same ``psi_from_counts`` finalize as the distributed two-pass plan.
+    Shared by ``fused_tests_from_sketch`` and the adaptive
+    ``psi_test_grouped`` fast path."""
+    n_ref, n_prod = int(cr.sum()), int(cp.sum())
+    if n_ref == 0:
+        return None, "Reference dataset is empty after removing NaN/inf"
+    ref_mask = cr > 0
+    if int(ref_mask.sum()) <= 1:
+        return None, "Reference distribution is constant — PSI requires variance"
+    if n_prod == 0:
+        return None, "Production dataset is empty after removing NaN/inf"
+    probs = np.linspace(0.0, 1.0, n_bins + 1)
+    edges = _weighted_percentiles(v[ref_mask], cr[ref_mask], probs)
+    inner = edges[1:-1]
+    bins = np.searchsorted(inner, v, side="right")
+    rc = np.zeros(n_bins, dtype=np.int64)
+    pc = np.zeros(n_bins, dtype=np.int64)
+    np.add.at(rc, bins, cr)
+    np.add.at(pc, bins, cp)
+    return (
+        psi_from_counts(
+            rc, pc, threshold, bin_edges=edges, feature_name=column
+        ),
+        None,
+    )
+
+
+def _psi_verdicts_from_sketch(
+    sketch_pdf: pd.DataFrame,
+    group_cols: Sequence[str],
+    column: str,
+    threshold: float,
+    n_bins: int,
+) -> list[tuple[tuple, DriftVerdict | None, str | None]]:
+    """Per-group ``_psi_kernel`` over a collected per-value sketch."""
+    sketch_pdf = sketch_pdf[sketch_pdf["v"].notna()]
+    verdicts: list[tuple[tuple, DriftVerdict | None, str | None]] = []
+    if group_cols:
+        keys = (
+            sketch_pdf[list(group_cols)]
+            .drop_duplicates()
+            .itertuples(index=False, name=None)
+        )
+    else:
+        keys = [()] if len(sketch_pdf) else []
+    for key in keys:
+        sub = sketch_pdf
+        for g, kv in zip(group_cols, key):
+            sub = sub[_key_mask(sub, g, kv)]
+        sub = sub.sort_values("v")
+        v = sub["v"].to_numpy(dtype=np.float64)
+        cr = sub["c_ref"].to_numpy(dtype=np.int64)
+        cp = sub["c_prod"].to_numpy(dtype=np.int64)
+        verdict, err = _psi_kernel(v, cr, cp, n_bins, threshold, column)
+        verdicts.append((key, verdict, err))
+    if not verdicts and not group_cols:
+        verdicts.append(
+            ((), None, "Reference dataset is empty after removing NaN/inf")
+        )
+    return verdicts
 
 
 def psi_test(
@@ -1326,38 +1420,11 @@ def fused_tests_from_sketch(
             (key, *_w1_kernel(v, cr, cp, config.wasserstein_threshold, column))
         )
 
-        # ---- PSI (psi_test_grouped parity) --------------------------------
-        # a group with production data but an EMPTY reference (e.g. an
-        # orphan partition absent from the baseline) reports an error row
-        # — never silently vanishes from the verdict frame
-        if n_ref == 0:
-            out_psi.append((key, None, empty_ref_msg))
-            continue
-        ref_mask = cr > 0
-        if int(ref_mask.sum()) <= 1:
-            out_psi.append(
-                (key, None, "Reference distribution is constant — PSI requires variance")
-            )
-            continue
-        if n_prod == 0:
-            out_psi.append((key, None, empty_prod_msg))
-            continue
-        probs = np.linspace(0.0, 1.0, n_bins_psi + 1)
-        edges = _weighted_percentiles(v[ref_mask], cr[ref_mask], probs)
-        inner = edges[1:-1]
-        bins = np.searchsorted(inner, v, side="right")
-        rc = np.zeros(n_bins_psi, dtype=np.int64)
-        pc = np.zeros(n_bins_psi, dtype=np.int64)
-        np.add.at(rc, bins, cr)
-        np.add.at(pc, bins, cp)
+        # ---- PSI (psi_test_grouped parity; a group with production data
+        # but an EMPTY reference — e.g. an orphan partition absent from the
+        # baseline — reports an error row, never silently vanishes) --------
         out_psi.append(
-            (
-                key,
-                psi_from_counts(
-                    rc, pc, config.psi_threshold, bin_edges=edges, feature_name=column
-                ),
-                None,
-            )
+            (key, *_psi_kernel(v, cr, cp, n_bins_psi, config.psi_threshold, column))
         )
 
     if not any_key and not group_cols:

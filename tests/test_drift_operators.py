@@ -841,3 +841,39 @@ class TestAdaptiveSketchPlans:
         row = fused["wasserstein"].iloc[0]
         assert row["error"] is None
         assert float(row["score"]) == pytest.approx(standalone.score, rel=1e-12)
+
+    def test_psi_sketch_matches_distributed(self, spark, value_df_factory):
+        # heavy integer ties put many values EXACTLY on quantile edges — the
+        # adversarial case for edge-computation parity between the driver
+        # kernel (weighted percentiles) and the distributed two-pass plan
+        rng = np.random.default_rng(12)
+        ref = value_df_factory(rng.integers(0, 40, 5000).astype(float))
+        prod = value_df_factory(rng.integers(2, 44, 4000).astype(float))
+        fast = drift.psi_test(ref, prod, "value")
+        slow = drift.psi_test(
+            ref, prod, "value", config=self._config(sketch_collect_max_rows=0)
+        )
+        assert fast.score == pytest.approx(slow.score, rel=0, abs=0)  # bitwise
+        assert fast.details["bin_edges"] == slow.details["bin_edges"]
+        assert (fast.reference_size, fast.production_size) == (
+            slow.reference_size, slow.production_size
+        )
+
+    def test_psi_sketch_continuous_matches_distributed(self, spark, value_df_factory):
+        rng = np.random.default_rng(13)
+        ref = value_df_factory(rng.normal(0, 1, 3000))
+        prod = value_df_factory(rng.normal(0.3, 1.1, 2500))
+        fast = drift.psi_test(ref, prod, "value")
+        slow = drift.psi_test(
+            ref, prod, "value", config=self._config(sketch_collect_max_rows=0)
+        )
+        assert fast.score == pytest.approx(slow.score, rel=1e-12)
+
+    def test_psi_error_paths_on_adaptive_plan(self, spark, value_df_factory):
+        prod = value_df_factory(np.random.default_rng(0).normal(0, 1, 100))
+        with pytest.raises(ValueError, match="constant"):
+            drift.psi_test(value_df_factory(np.ones(100)), prod, "value")
+        with pytest.raises(ValueError, match="empty after removing"):
+            drift.psi_test(value_df_factory([np.nan, np.nan]), prod, "value")
+        with pytest.raises(ValueError, match="empty after removing"):
+            drift.psi_test(prod, value_df_factory([np.nan]), "value")
