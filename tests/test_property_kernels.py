@@ -192,3 +192,58 @@ def test_prefix_sum_auc_matches_midrank_oracle(spark, groups):
             n_pos * n_neg
         )
         assert float(row["auc"]) == pytest.approx(want, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# W1 sketch kernel vs expanded-multiset oracle (round-4: the adaptive plan
+# puts _w1_kernel on the standalone hot path — pin it against a direct
+# scipy-formula recomputation on the expanded arrays, plus invariances).
+# ---------------------------------------------------------------------------
+
+_w1_sketch = st.lists(
+    st.tuples(
+        st.integers(-50, 50),    # value (scaled to add ties + gaps)
+        st.integers(0, 20),      # c_ref
+        st.integers(0, 20),      # c_prod
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _w1_expanded_oracle(v, cr, cp):
+    """scipy.stats.wasserstein_distance formula on the expanded multisets."""
+    u = np.repeat(v, cr)
+    w = np.repeat(v, cp)
+    allv = np.sort(np.concatenate([u, w]))
+    deltas = np.diff(allv)
+    u_cdf = np.searchsorted(np.sort(u), allv[:-1], side="right") / len(u)
+    w_cdf = np.searchsorted(np.sort(w), allv[:-1], side="right") / len(w)
+    return float(np.sum(np.abs(u_cdf - w_cdf) * deltas))
+
+
+@settings(max_examples=200, deadline=None)
+@example([(0, 5, 5)])                       # single value, both sides
+@example([(0, 3, 0), (1, 0, 3)])            # disjoint supports
+@given(_w1_sketch)
+def test_w1_kernel_matches_expanded_oracle(sketch):
+    from aumos_drift_detector_spark.operators.drift import _w1_kernel
+
+    rows = sorted({s[0]: s for s in sketch}.values())  # distinct values
+    v = np.array([r[0] for r in rows], dtype=np.float64) * 0.5
+    cr = np.array([r[1] for r in rows], dtype=np.int64)
+    cp = np.array([r[2] for r in rows], dtype=np.int64)
+    verdict, err = _w1_kernel(v, cr, cp, threshold=0.1, column="x")
+    if cr.sum() == 0 or cp.sum() == 0:
+        assert err is not None and "empty side" in err
+        return
+    assert err is None
+    raw = verdict.details["raw_distance"]
+    assert raw == pytest.approx(_w1_expanded_oracle(v, cr, cp), abs=1e-9)
+    assert raw >= 0.0
+    # translation invariance; positive-scale equivariance of the raw distance
+    v2 = v + 17.25
+    raw_shift = _w1_kernel(v2, cr, cp, 0.1, "x")[0].details["raw_distance"]
+    assert raw_shift == pytest.approx(raw, abs=1e-9)
+    raw_scaled = _w1_kernel(v * 3.0, cr, cp, 0.1, "x")[0].details["raw_distance"]
+    assert raw_scaled == pytest.approx(3.0 * raw, rel=1e-9, abs=1e-9)
