@@ -278,3 +278,55 @@ class TestKillSafeResume:
         vio = spark.read.parquet(f"{out}/violations")
         dup = vio.where(F.col("check_name") == "uniqueness").collect()
         assert {r["doc_id"] for r in dup} == {"dupX"}
+
+
+class TestSparkSubmitLaunch:
+    def test_submit_entrypoint_with_pyfiles_zip(self, tmp_path):
+        """North-rule launch shape: package once (build_pyfiles.sh), run the
+        SAME driver script via spark-submit --py-files from a neutral cwd —
+        the executors import the library from the zip, not the repo path."""
+        import os
+        import shutil
+        import subprocess
+
+        spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+        if not os.path.exists(spark_submit):
+            pytest.skip("spark-submit not on this host")
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+        from aumos_drift_detector_spark.sources.synth import fast_token_parquet
+
+        cur = str(tmp_path / "cur")
+        base = str(tmp_path / "base")
+        fast_token_parquet(base, 4000, seed=1)
+        fast_token_parquet(cur, 4000, seed=1)  # same seed: token_equality holds
+
+        subprocess.run(
+            ["bash", os.path.join(repo, "scripts", "build_pyfiles.sh")],
+            check=True, capture_output=True,
+        )
+        proc = subprocess.run(
+            [
+                spark_submit, "--master", "local[4]",
+                "--conf", "spark.sql.shuffle.partitions=8",
+                "--conf", "spark.ui.enabled=false",
+                "--py-files",
+                os.path.join(repo, "dist", "aumos_drift_detector_spark.zip"),
+                os.path.join(repo, "scripts", "submit_validation.py"),
+                "--current", cur, "--baseline", base,
+                "--out", str(tmp_path / "out"),
+                "--sources", "web,books,code,wiki",
+            ],
+            cwd=str(tmp_path),  # neutral cwd: repo NOT importable implicitly
+            capture_output=True, text=True, timeout=420,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        import json
+
+        report = json.loads(line)
+        assert report["checks"] > 0
+        assert sorted(report["partitions"]) == ["books", "code", "web", "wiki"]
+        # same-seed tables: the per-row token-equality invariant holds
+        assert report["violations"]["token_equality"] == 0
+        assert (tmp_path / "out").exists()
