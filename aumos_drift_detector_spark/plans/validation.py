@@ -134,6 +134,12 @@ class ValidationSettings:
     # scans separate). Safe while groups x distinct(n_tok) is collect-sized —
     # n_tok is bounded by max sequence length. False = independent tests.
     fused_ntok_drift: bool = True
+    # token histogram physical plan: True = Arrow flatten+bincount with NO
+    # explode (shuffle moves pre-aggregated counts, not token rows — the
+    # scale path); False = the explode + codegen hash-aggregate plan.
+    # Sampling (token_sample_fraction < 1) always uses the explode plan,
+    # whose row-sampling semantics it is defined over.
+    token_hist_arrow: bool = True
     engine: EngineConfig = field(default_factory=lambda: DEFAULT_CONFIG)
 
 
@@ -384,22 +390,45 @@ class ValidationRun:
                     [(p, i) for i, p in enumerate(batch)], [part, "_pcode"]
                 )
             )
-            cur_tok = cur.join(code_df, part).select(
-                "_pcode", F.explode(s.tokens_col).alias("token_id")
-            )
-            base_tok = base.join(code_df, part).select(
-                "_pcode", F.explode(s.tokens_col).alias("token_id")
-            )
-            if s.token_sample_fraction < 1.0:
-                cur_tok = cur_tok.sample(s.token_sample_fraction, seed=42)
-                base_tok = base_tok.sample(s.token_sample_fraction, seed=42)
-            # token_id stays int (cheap isNotNull filter); known vocab domain
-            # -> ONE single-pass fixed-width binned count feeds BOTH the JS
-            # and bucketed chi-squared kernels — collect is groups x 256.
-            pdf = D._binned_counts_shared_range(
-                base_tok, cur_tok, "token_id", ("_pcode",), 256,
-                domain=(0, VOCAB_SIZE),
-            )
+            if s.token_hist_arrow and s.token_sample_fraction >= 1.0:
+                # NO-EXPLODE plan (round 4): Arrow batches flatten+bincount
+                # in numpy, so the shuffle moves <= batches x groups x 256
+                # pre-aggregated rows instead of one row per token — this
+                # stage was alpha~0.96 of the whole pass wall. Bin arithmetic
+                # is bitwise-identical to the explode plan (pytest-pinned).
+                def side_counts(df, side):
+                    return D.binned_counts_fixed_domain_arrow(
+                        df.join(code_df, part).select("_pcode", s.tokens_col),
+                        "_pcode", s.tokens_col, 256, (0, VOCAB_SIZE),
+                    ).select(
+                        "_pcode", F.lit(side).alias("side"), "bin", "cnt"
+                    )
+
+                pdf = (
+                    side_counts(base, 0)
+                    .unionByName(side_counts(cur, 1))
+                    .toPandas()
+                )
+            else:
+                # explode plan: required when token_sample_fraction < 1.0
+                # (sampling is defined over exploded token rows, seed 42)
+                cur_tok = cur.join(code_df, part).select(
+                    "_pcode", F.explode(s.tokens_col).alias("token_id")
+                )
+                base_tok = base.join(code_df, part).select(
+                    "_pcode", F.explode(s.tokens_col).alias("token_id")
+                )
+                if s.token_sample_fraction < 1.0:
+                    cur_tok = cur_tok.sample(s.token_sample_fraction, seed=42)
+                    base_tok = base_tok.sample(s.token_sample_fraction, seed=42)
+                # token_id stays int (cheap isNotNull filter); known vocab
+                # domain -> ONE single-pass fixed-width binned count feeds
+                # BOTH the JS and bucketed chi-squared kernels — collect is
+                # groups x 256.
+                pdf = D._binned_counts_shared_range(
+                    base_tok, cur_tok, "token_id", ("_pcode",), 256,
+                    domain=(0, VOCAB_SIZE),
+                )
             pdf[part] = pdf["_pcode"].map(dict(enumerate(batch)))
             return pdf.drop(columns=["_pcode"])
 

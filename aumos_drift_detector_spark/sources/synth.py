@@ -177,6 +177,53 @@ def write_token_tables_parquet(
             dim.write.mode("overwrite").parquet(os.path.join(out_dir, "sources_dim"))
 
 
+def _token_file_task(args: tuple) -> int:
+    """Generate ONE deterministic token parquet file (worker for
+    ``fast_token_parquet``; module-level for multiprocessing pickling).
+
+    Per-file rng seed = seed * 1_000_003 + file_idx, so any file can be
+    (re)built independently and in any order. An already-existing file is
+    skipped after recomputing only its (cheap) n_tok draw, so interrupted
+    generations RESUME instead of restarting — the draws are deterministic,
+    the bytes identical either way. Returns the file's token count.
+    """
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out_dir, file_idx, written, n, seed, ntok_mu, cdf = args
+    rng = np.random.default_rng(seed * 1_000_003 + file_idx)
+    n_tok = np.clip(rng.lognormal(ntok_mu, 0.6, n), 1, 2048).astype(np.int32)
+    path = os.path.join(out_dir, f"part-{file_idx:05d}.parquet")
+    if os.path.exists(path):
+        return int(n_tok.sum())
+    flat = np.searchsorted(
+        cdf, rng.random(int(n_tok.sum())), side="right"
+    ).astype(np.int32)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_tok, out=offsets[1:])
+    tokens = pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat))
+    ids = np.char.add(f"d{file_idx:04d}_", np.arange(written, written + n).astype(str))
+    sources = rng.choice(SOURCES, size=n, p=SOURCE_WEIGHTS)
+    table = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.string()),
+            "tokens": tokens,
+            "n_tok": pa.array(n_tok, pa.int32()),
+            "source": pa.array(sources, pa.string()),
+        }
+    )
+    # many files + small row groups => Spark gets real scan parallelism
+    # even at sandbox scale (one 60MB file = ONE task otherwise). Write to a
+    # temp name + atomic rename so a killed worker never leaves a torn file
+    # for the resume check to skip.
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp, row_group_size=12_500)
+    os.replace(tmp, path)
+    return int(n_tok.sum())
+
+
 def fast_token_parquet(
     out_dir: str,
     n_rows: int,
@@ -185,18 +232,20 @@ def fast_token_parquet(
     zipf_a: float = 1.2,
     drifted: bool = False,
     rows_per_file: int = 50_000,
+    workers: int = 1,
 ) -> int:
     """Vectorized pyarrow writer for bench-scale token tables (no Spark, no
-    per-row Python). Deterministic for (n_rows, seed). Returns total tokens.
+    per-row Python). Deterministic for (n_rows, seed) at ANY worker count.
+    Returns total tokens.
 
     The `source` distribution keeps the web-heavy skew. Token arrays build as
     one flat Zipf draw + offsets -> Arrow ListArray, so 10^8 tokens take
-    seconds, not hours.
+    seconds, not hours. Files are seeded independently (see
+    ``_token_file_task``): ``workers > 1`` fans generation out over a
+    process pool, and already-written files are skipped, so an interrupted
+    run resumes where it stopped.
     """
     import os
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
 
     if drifted:
         ntok_mu, zipf_a = 5.5, 1.4
@@ -208,34 +257,18 @@ def fast_token_parquet(
     ranks = np.arange(1, VOCAB_SIZE + 1, dtype=np.float64)
     pmf = ranks ** (-zipf_a)
     cdf = np.cumsum(pmf / pmf.sum())
-    total_tokens = 0
+
+    tasks = []
     written = 0
     file_idx = 0
     while written < n_rows:
         n = min(rows_per_file, n_rows - written)
-        rng = np.random.default_rng(seed * 1_000_003 + file_idx)
-        n_tok = np.clip(rng.lognormal(ntok_mu, 0.6, n), 1, 2048).astype(np.int32)
-        flat = np.searchsorted(
-            cdf, rng.random(int(n_tok.sum())), side="right"
-        ).astype(np.int32)
-        offsets = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(n_tok, out=offsets[1:])
-        tokens = pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat))
-        ids = np.char.add(f"d{file_idx:04d}_", np.arange(written, written + n).astype(str))
-        sources = rng.choice(SOURCES, size=n, p=SOURCE_WEIGHTS)
-        table = pa.table(
-            {
-                "doc_id": pa.array(ids, pa.string()),
-                "tokens": tokens,
-                "n_tok": pa.array(n_tok, pa.int32()),
-                "source": pa.array(sources, pa.string()),
-            }
-        )
-        # many files + small row groups => Spark gets real scan parallelism
-        # even at sandbox scale (one 60MB file = ONE task otherwise)
-        pq.write_table(table, os.path.join(out_dir, f"part-{file_idx:05d}.parquet"),
-                       row_group_size=12_500)
-        total_tokens += int(n_tok.sum())
+        tasks.append((out_dir, file_idx, written, n, seed, ntok_mu, cdf))
         written += n
         file_idx += 1
-    return total_tokens
+    if workers > 1 and len(tasks) > 1:
+        import multiprocessing as mp
+
+        with mp.Pool(workers) as pool:
+            return sum(pool.map(_token_file_task, tasks, chunksize=1))
+    return sum(_token_file_task(t) for t in tasks)

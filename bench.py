@@ -174,11 +174,14 @@ def ensure_token_data() -> tuple[str, str]:
     base_dir = os.path.join(BENCH_DATA, f"tokens_baseline_{TOKEN_ROWS}")
     marker = os.path.join(BENCH_DATA, f".done_{TOKEN_ROWS}")
     if not os.path.exists(marker):
-        for d in (cur_dir, base_dir):
-            shutil.rmtree(d, ignore_errors=True)
-        fast_token_parquet(base_dir, TOKEN_ROWS, seed=42)
+        # per-file seeding + atomic writes make generation resumable: an
+        # interrupted run keeps its finished files, the pool fills the gaps
+        workers = min(8, os.cpu_count() or 1)
+        fast_token_parquet(base_dir, TOKEN_ROWS, seed=42, workers=workers)
         # current = drifted variant: real drift work for the kernels
-        fast_token_parquet(cur_dir, TOKEN_ROWS, seed=43, drifted=True)
+        fast_token_parquet(
+            cur_dir, TOKEN_ROWS, seed=43, drifted=True, workers=workers
+        )
         open(marker, "w").write("ok")
     return cur_dir, base_dir
 

@@ -1,5 +1,6 @@
 """End-to-end validation-pass tests: exact verdicts, violations, and resume."""
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -330,3 +331,75 @@ class TestSparkSubmitLaunch:
         # same-seed tables: the per-row token-equality invariant holds
         assert report["violations"]["token_equality"] == 0
         assert (tmp_path / "out").exists()
+
+
+class TestTokenHistArrowPlan:
+    def test_arrow_bincount_matches_explode_plan(self, spark):
+        """The no-explode Arrow flatten+bincount plan must produce counts
+        BITWISE identical to the explode + codegen hash-aggregate plan,
+        including NULL token arrays (contribute nothing) and boundary token
+        ids (0 and vocab-1)."""
+        from aumos_drift_detector_spark.operators import drift as D
+
+        rows = []
+        rng = np.random.default_rng(3)
+        for i in range(400):
+            toks = rng.integers(0, 50257, rng.integers(1, 60)).tolist()
+            rows.append((i % 3, toks))
+        rows += [(0, None), (1, []), (2, [0, 50256, 50256])]
+        df = spark.createDataFrame(rows, "pcode int, tokens array<int>")
+
+        arrow = (
+            D.binned_counts_fixed_domain_arrow(
+                df, "pcode", "tokens", 256, (0, 50257)
+            )
+            .toPandas()
+            .sort_values(["pcode", "bin"])
+            .reset_index(drop=True)
+        )
+        from pyspark.sql import functions as F
+
+        exploded = df.select("pcode", F.explode("tokens").alias("token_id"))
+        # the explode plan's bin arithmetic (domain branch of
+        # _binned_counts_shared_range), side column dropped
+        lo, hi, n_bins = 0.0, 50257.0, 256
+        width = (hi - lo) / n_bins
+        raw = F.floor((F.col("token_id") - F.lit(lo)) / F.lit(width)).cast("int")
+        bin_col = (
+            F.when(F.col("token_id") == F.lit(hi), F.lit(n_bins - 1))
+            .otherwise(F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)))
+        )
+        want = (
+            exploded.withColumn("bin", bin_col)
+            .groupBy("pcode", "bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .toPandas()
+            .sort_values(["pcode", "bin"])
+            .reset_index(drop=True)
+        )
+        assert len(arrow) == len(want)
+        assert (arrow["pcode"].to_numpy() == want["pcode"].to_numpy()).all()
+        assert (arrow["bin"].to_numpy() == want["bin"].to_numpy()).all()
+        assert (arrow["cnt"].to_numpy() == want["cnt"].to_numpy()).all()
+
+    def test_validation_pass_same_results_either_token_plan(self, spark, tmp_path):
+        from aumos_drift_detector_spark.plans.validation import (
+            ValidationRun,
+            ValidationSettings,
+        )
+        from aumos_drift_detector_spark.sources.synth import generate_token_tables
+
+        cur, base, dim, _exp = generate_token_tables(spark, n_rows=3000, seed=5)
+        reports = {}
+        for flag in (True, False):
+            run = ValidationRun(
+                spark, cur, base, dim, str(tmp_path / f"out_{flag}"),
+                settings=ValidationSettings(token_hist_arrow=flag),
+            )
+            reports[flag] = run.run(resume=False).results
+        a = reports[True].sort_values(["partition_value", "check_name", "feature"])
+        b = reports[False].sort_values(["partition_value", "check_name", "feature"])
+        assert list(a["check_name"]) == list(b["check_name"])
+        sa = a["score"].astype(float).to_numpy()
+        sb = b["score"].astype(float).to_numpy()
+        assert np.allclose(sa, sb, rtol=0, atol=0, equal_nan=True)
