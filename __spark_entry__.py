@@ -2,8 +2,12 @@
 
 ``entry(spark)`` runs the flagship grouped PSI drift check on sf0.001.
 ``queries()`` exposes one callable per implemented operator family
-(SURVEY.md §2); ``oracle_sql()`` gives the DuckDB-equivalent SQL for each
-(rows-only checks omit the oracle: sequential concept-drift replay and MMD).
+(SURVEY.md §2); ``oracle_sql()`` gives the DuckDB-equivalent SQL for each.
+Six rows-only checks omit the oracle (ADWIN's adaptive-window state machine,
+MinHash/SimHash engine-specific hash constants, CBPE/DLE seeded
+bootstrap/GBT, iterative-SVD multivariate drift); CUSUM replays via a
+recursive CTE and embedding near-dup verifies against the brute-force
+exact-cosine pair set, so both ARE oracle-checked (round 4).
 
 Float columns are rounded identically on both sides so the driver's
 order-insensitive value-hash compares stably across engines.
