@@ -377,18 +377,9 @@ def psi_test_grouped(
     pdf = counts.toPandas()
 
     verdicts = []
-    keys = (
-        pdf[list(group_cols)].drop_duplicates().itertuples(index=False, name=None)
-        if group_cols
-        else [()]
-    )
-    for key in keys:
-        sub = pdf
-        for g, kv in zip(group_cols, key):
-            sub = sub[_key_mask(sub, g, kv)]
-        if sub.empty:
-            verdicts.append((key, None, "no data"))
-            continue
+    if not group_cols and pdf.empty:
+        verdicts.append(((), None, "no data"))
+    for key, sub in _iter_group_subframes(pdf, group_cols):
         if sub["edges"].iloc[0] is None or (
             isinstance(sub["ref_distinct"].iloc[0], float)
             and np.isnan(sub["ref_distinct"].iloc[0])
@@ -404,12 +395,11 @@ def psi_test_grouped(
             continue
         rc = np.zeros(n_bins, dtype=np.int64)
         pc = np.zeros(n_bins, dtype=np.int64)
-        for _, r in sub.iterrows():
-            b = int(r["bin"])
-            if r["side"] == _REF:
-                rc[b] += int(r["cnt"])
-            else:
-                pc[b] += int(r["cnt"])
+        bins = sub["bin"].to_numpy(dtype=np.int64)
+        cnts = sub["cnt"].to_numpy(dtype=np.int64)
+        is_ref = (sub["side"] == _REF).to_numpy()
+        np.add.at(rc, bins[is_ref], cnts[is_ref])
+        np.add.at(pc, bins[~is_ref], cnts[~is_ref])
         if rc.sum() == 0:
             verdicts.append((key, None, "Reference dataset is empty after removing NaN/inf"))
             continue
@@ -467,21 +457,11 @@ def _psi_verdicts_from_sketch(
     threshold: float,
     n_bins: int,
 ) -> list[tuple[tuple, DriftVerdict | None, str | None]]:
-    """Per-group ``_psi_kernel`` over a collected per-value sketch."""
+    """Per-group ``_psi_kernel`` over a collected per-value sketch
+    (one hash-groupby pass — O(sketch_rows), not O(groups x sketch_rows))."""
     sketch_pdf = sketch_pdf[sketch_pdf["v"].notna()]
     verdicts: list[tuple[tuple, DriftVerdict | None, str | None]] = []
-    if group_cols:
-        keys = (
-            sketch_pdf[list(group_cols)]
-            .drop_duplicates()
-            .itertuples(index=False, name=None)
-        )
-    else:
-        keys = [()] if len(sketch_pdf) else []
-    for key in keys:
-        sub = sketch_pdf
-        for g, kv in zip(group_cols, key):
-            sub = sub[_key_mask(sub, g, kv)]
+    for key, sub in _iter_group_subframes(sketch_pdf, group_cols):
         sub = sub.sort_values("v")
         v = sub["v"].to_numpy(dtype=np.float64)
         cr = sub["c_ref"].to_numpy(dtype=np.int64)
@@ -523,21 +503,11 @@ def _ks_verdicts_from_sketch(
 ) -> list[tuple[tuple, DriftVerdict | None, str | None]]:
     """Per-group exact KS (D = max ECDF gap) over a collected per-value
     sketch — the driver half of the adaptive plan in ``ks_test_grouped``;
-    identical math to the fused-sketch KS path."""
+    identical math to the fused-sketch KS path. One hash-groupby pass —
+    O(sketch_rows), not O(groups x sketch_rows)."""
     sketch_pdf = sketch_pdf[sketch_pdf["v"].notna()]
     verdicts: list[tuple[tuple, DriftVerdict | None, str | None]] = []
-    if group_cols:
-        keys = (
-            sketch_pdf[list(group_cols)]
-            .drop_duplicates()
-            .itertuples(index=False, name=None)
-        )
-    else:
-        keys = [()] if len(sketch_pdf) else []
-    for key in keys:
-        sub = sketch_pdf
-        for g, kv in zip(group_cols, key):
-            sub = sub[_key_mask(sub, g, kv)]
+    for key, sub in _iter_group_subframes(sketch_pdf, group_cols):
         sub = sub.sort_values("v")
         cr = sub["c_ref"].to_numpy(dtype=np.int64)
         cp = sub["c_prod"].to_numpy(dtype=np.int64)
@@ -760,6 +730,15 @@ def binned_counts_fixed_domain_arrow(
                 codes_col.to_numpy(zero_copy_only=False).astype(np.int64),
                 lens,
             )
+            # explode parity: clean_values drops NULL/NaN/inf elements, and
+            # flatten() keeps element-level nulls (as NaN after to_numpy) —
+            # mask them out or floor(NaN)->INT64_MIN crashes bincount
+            keep = np.isfinite(flat)
+            if not keep.all():
+                flat = flat[keep]
+                codes = codes[keep]
+                if flat.size == 0:
+                    continue
             # same double arithmetic as the codegen expression in
             # _binned_counts_shared_range's domain branch
             raw = np.floor((flat - lo) / width)
@@ -806,19 +785,14 @@ def _kernel_over_binned_counts(
     threshold: float, column: str,
 ) -> pd.DataFrame:
     verdicts = []
-    keys = (
-        pdf[list(group_cols)].drop_duplicates().itertuples(index=False, name=None)
-        if group_cols
-        else ([()] if not pdf.empty else [])
-    )
-    for key in keys:
-        sub = pdf
-        for g, kv in zip(group_cols, key):
-            sub = sub[sub[g] == kv]
+    for key, sub in _iter_group_subframes(pdf, group_cols):
         rc = np.zeros(n_bins, dtype=np.int64)
         pc = np.zeros(n_bins, dtype=np.int64)
-        for _, r in sub.iterrows():
-            (rc if r["side"] == _REF else pc)[int(r["bin"])] += int(r["cnt"])
+        bins = sub["bin"].to_numpy(dtype=np.int64)
+        cnts = sub["cnt"].to_numpy(dtype=np.int64)
+        is_ref = (sub["side"] == _REF).to_numpy()
+        np.add.at(rc, bins[is_ref], cnts[is_ref])
+        np.add.at(pc, bins[~is_ref], cnts[~is_ref])
         if rc.sum() == 0:
             verdicts.append((key, None, "Reference dataset is empty after removing NaN/inf"))
         elif pc.sum() == 0:
@@ -961,21 +935,11 @@ def _w1_verdicts_from_sketch(
     column: str,
     threshold: float,
 ) -> list[tuple[tuple, DriftVerdict | None, str | None]]:
-    """Per-group `_w1_kernel` over a collected per-value sketch."""
+    """Per-group `_w1_kernel` over a collected per-value sketch (one
+    hash-groupby pass — O(sketch_rows), not O(groups x sketch_rows))."""
     sketch_pdf = sketch_pdf[sketch_pdf["v"].notna()]
     verdicts: list[tuple[tuple, DriftVerdict | None, str | None]] = []
-    if group_cols:
-        keys = (
-            sketch_pdf[list(group_cols)]
-            .drop_duplicates()
-            .itertuples(index=False, name=None)
-        )
-    else:
-        keys = [()] if len(sketch_pdf) else []
-    for key in keys:
-        sub = sketch_pdf
-        for g, kv in zip(group_cols, key):
-            sub = sub[_key_mask(sub, g, kv)]
+    for key, sub in _iter_group_subframes(sketch_pdf, group_cols):
         sub = sub.sort_values("v")
         v = sub["v"].to_numpy(dtype=np.float64)
         cr = sub["c_ref"].to_numpy(dtype=np.int64)
@@ -1200,15 +1164,7 @@ def _phase2_topk_pdf(
     v, c_ref, c_prod, n_cats), at most groups x (cap + 1) rows.
     """
     out_rows: list[dict] = []
-    keys = (
-        pdf[list(group_cols)].drop_duplicates().itertuples(index=False, name=None)
-        if group_cols
-        else ([()] if len(pdf) else [])
-    )
-    for key in keys:
-        sub = pdf
-        for g, kv in zip(group_cols, key):
-            sub = sub[_key_mask(sub, g, kv)]
+    for key, sub in _iter_group_subframes(pdf, group_cols):
         gdict = dict(zip(group_cols, key))
         cand = sub[sub["v"].notna()].copy()
         cand["_pooled"] = cand["c_ref"] + cand["c_prod"]
@@ -1243,6 +1199,29 @@ def _key_mask(sub: pd.DataFrame, g: str, kv):
     if kv is None or (isinstance(kv, float) and np.isnan(kv)):
         return sub[g].isna()
     return sub[g] == kv
+
+
+def _iter_group_subframes(pdf: pd.DataFrame, group_cols: Sequence[str]):
+    """Yield ``(key_tuple, sub_frame)`` per distinct group via ONE pandas
+    hash-groupby pass — O(sketch_rows) total, replacing the per-key
+    re-masking of the full collected frame (O(groups x sketch_rows)) that
+    became a driver bottleneck at 10k+ groups near the sketch cap.
+
+    Groups appear in first-occurrence order (``sort=False``), matching the
+    old ``drop_duplicates().itertuples()`` iteration. NULL keys are kept
+    (``dropna=False``) with ``_key_mask`` semantics. Key values are read
+    back from each subframe's first row rather than from pandas' groupby
+    labels, so the tuples carry the exact stored objects (None stays None
+    in object columns, numpy scalars keep their dtype) — byte-identical to
+    what ``itertuples`` produced.
+    """
+    if not group_cols:
+        if len(pdf):
+            yield (), pdf
+        return
+    gcols = list(group_cols)
+    for _, sub in pdf.groupby(gcols, sort=False, dropna=False):
+        yield tuple(sub[g].iloc[0] for g in gcols), sub
 
 
 def chi2_test_grouped(
@@ -1306,15 +1285,7 @@ def chi2_test_grouped(
         pdf["_is_other"], "__other__", pdf["v"].astype(str)
     )
     verdicts = []
-    keys = (
-        pdf[list(group_cols)].drop_duplicates().itertuples(index=False, name=None)
-        if group_cols
-        else ([()] if not pdf.empty else [])
-    )
-    for key in keys:
-        sub = pdf
-        for g, kv in zip(group_cols, key):
-            sub = sub[_key_mask(sub, g, kv)]
+    for key, sub in _iter_group_subframes(pdf, group_cols):
         ref_counts = dict(zip(sub["v"], sub["c_ref"]))
         prod_counts = dict(zip(sub["v"], sub["c_prod"]))
         cats = sorted(k for k in set(ref_counts) | set(prod_counts))
@@ -1431,23 +1402,12 @@ def fused_tests_from_sketch(
     n_bins_psi = config.psi_bins
     n_bins_js = config.hist_bins
 
-    if group_cols:
-        keys = (
-            sketch_pdf[list(group_cols)]
-            .drop_duplicates()
-            .itertuples(index=False, name=None)
-        )
-    else:
-        keys = [()] if not sketch_pdf.empty else []
     empty_ref_msg = "Reference dataset is empty after removing NaN/inf"
     empty_prod_msg = "Production dataset is empty after removing NaN/inf"
 
     any_key = False
-    for key in keys:
+    for key, sub in _iter_group_subframes(sketch_pdf, group_cols):
         any_key = True
-        sub = sketch_pdf
-        for g, kv in zip(group_cols, key):
-            sub = sub[sub[g] == kv]
         sub = sub.sort_values("v")
         v = sub["v"].to_numpy(dtype=np.float64)
         cr = sub["c_ref"].to_numpy(dtype=np.int64)
@@ -1538,18 +1498,8 @@ def profile_from_sketch(
     the weighted E[v²] stays inside 2^53).
     """
     c_col = "c_prod" if side == "prod" else "c_ref"
-    keys = (
-        sketch_pdf[list(group_cols)]
-        .drop_duplicates()
-        .itertuples(index=False, name=None)
-        if group_cols
-        else ([()] if not sketch_pdf.empty else [])
-    )
     rows = []
-    for key in keys:
-        sub = sketch_pdf
-        for g, kv in zip(group_cols, key):
-            sub = sub[sub[g] == kv]
+    for key, sub in _iter_group_subframes(sketch_pdf, group_cols):
         sub = sub[sub[c_col] > 0]
         null_cnt = int(sub[sub["v"].isna()][c_col].sum())
         fin = sub[sub["v"].notna()].sort_values("v")

@@ -877,3 +877,109 @@ class TestAdaptiveSketchPlans:
             drift.psi_test(value_df_factory([np.nan, np.nan]), prod, "value")
         with pytest.raises(ValueError, match="empty after removing"):
             drift.psi_test(prod, value_df_factory([np.nan]), "value")
+
+
+class TestThousandGroupScale:
+    """Guards the r5 vectorization of the driver-side sketch kernels: one
+    pandas hash-groupby pass (O(sketch_rows)) instead of per-key re-masking
+    of the full collected sketch (O(groups x sketch_rows)). A 10k-partition
+    run near the 2M sketch cap must stay driver-feasible at 100x partition
+    counts."""
+
+    N_GROUPS = 1000
+    VALS_PER_GROUP = 60
+
+    def _sketch(self, n_groups: int, seed: int = 7) -> pd.DataFrame:
+        """Synthetic per-value sketch: n_groups, VALS_PER_GROUP distinct
+        values each, production shifted on even-numbered groups."""
+        rng = np.random.default_rng(seed)
+        g = np.repeat(np.arange(n_groups), self.VALS_PER_GROUP)
+        v = np.tile(np.arange(self.VALS_PER_GROUP, dtype=np.float64), n_groups)
+        c_ref = rng.integers(1, 50, g.size).astype(np.int64)
+        shift = (g % 2 == 0) & (v < 20)
+        c_prod = np.where(
+            shift, rng.integers(200, 400, g.size), rng.integers(1, 50, g.size)
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {"g": np.char.add("p", g.astype(str)), "v": v,
+             "c_ref": c_ref, "c_prod": c_prod}
+        )
+
+    def test_fused_kernel_1000_groups_parity_and_linear_cost(self):
+        import time
+
+        sketch = self._sketch(self.N_GROUPS)
+        t0 = time.monotonic()
+        fused = drift.fused_tests_from_sketch(sketch, ("g",), "x")
+        wall_1000 = time.monotonic() - t0
+        for name in ("psi", "ks", "jensen_shannon", "wasserstein"):
+            frame = fused[name]
+            assert len(frame) == self.N_GROUPS, name
+            assert frame["error"].isna().all(), name
+        # drifted groups (even ids) must be hotter than undrifted ones
+        # (PSI score is a magnitude; the KS frame's score is its p-value)
+        psi = fused["psi"].set_index("g")
+        even = [f"p{i}" for i in range(0, 40, 2)]
+        odd = [f"p{i}" for i in range(1, 40, 2)]
+        assert psi.loc[even, "score"].mean() > 3 * psi.loc[odd, "score"].mean()
+
+        # parity: every sampled group's fused verdict == standalone kernel
+        # run on just that group's rows with group_cols=()
+        rng = np.random.default_rng(0)
+        for gi in rng.choice(self.N_GROUPS, 8, replace=False):
+            gname = f"p{gi}"
+            sub = sketch[sketch["g"] == gname].drop(columns=["g"])
+            single = drift.fused_tests_from_sketch(sub, (), "x")
+            for name in ("psi", "ks", "jensen_shannon", "wasserstein"):
+                got = fused[name].set_index("g").loc[gname]
+                want = single[name].iloc[0]
+                assert got["score"] == pytest.approx(want["score"], rel=0, abs=0), (
+                    name, gname)
+                assert got["is_drifted"] == want["is_drifted"], (name, gname)
+
+        # driver cost is ~linear in sketch rows: 4x the groups on the same
+        # per-group size must cost well under the quadratic 16x (generous
+        # 10x bound absorbs CI noise)
+        quarter = self._sketch(self.N_GROUPS // 4)
+        t0 = time.monotonic()
+        drift.fused_tests_from_sketch(quarter, ("g",), "x")
+        wall_250 = time.monotonic() - t0
+        assert wall_1000 < 10 * max(wall_250, 1e-3), (wall_1000, wall_250)
+        assert wall_1000 < 30.0  # absolute sanity bound
+
+    def test_grouped_operators_1000_groups_match_standalone(self, spark):
+        """End-to-end: psi/ks/w1_test_grouped at 1000 groups through the
+        adaptive sketch-collect path agree with per-group standalone calls
+        on a seeded sample of groups."""
+        rng = np.random.default_rng(21)
+        n = self.N_GROUPS * 40
+        g = rng.integers(0, self.N_GROUPS, n)
+        pdf_ref = pd.DataFrame(
+            {"g": np.char.add("p", g.astype(str)),
+             "value": rng.integers(0, 50, n).astype(float)}
+        )
+        g2 = rng.integers(0, self.N_GROUPS, n)
+        drifted = (g2 % 2 == 0)
+        pdf_prod = pd.DataFrame(
+            {"g": np.char.add("p", g2.astype(str)),
+             "value": (rng.integers(0, 50, n) + np.where(drifted, 15, 0)).astype(float)}
+        )
+        ref, prod = spark.createDataFrame(pdf_ref), spark.createDataFrame(pdf_prod)
+        psi = drift.psi_test_grouped(ref, prod, "value", ("g",)).set_index("g")
+        ks = drift.ks_test_grouped(ref, prod, "value", ("g",)).set_index("g")
+        w1 = drift.wasserstein_test_grouped(ref, prod, "value", ("g",)).set_index("g")
+        assert len(psi) == len(ks) == len(w1) == self.N_GROUPS
+
+        from pyspark.sql import functions as F
+
+        for gi in np.random.default_rng(1).choice(self.N_GROUPS, 5, replace=False):
+            gname = f"p{gi}"
+            r1 = ref.where(F.col("g") == gname)
+            p1 = prod.where(F.col("g") == gname)
+            sp = drift.psi_test(r1, p1, "value")
+            sk = drift.ks_test(r1, p1, "value")
+            sw = drift.wasserstein_test(r1, p1, "value")
+            assert psi.loc[gname, "score"] == pytest.approx(sp.score, rel=0, abs=0)
+            assert ks.loc[gname, "score"] == pytest.approx(sk.score, rel=0, abs=0)
+            assert w1.loc[gname, "score"] == pytest.approx(sw.score, rel=0, abs=0)
+            assert ks.loc[gname, "p_value"] == pytest.approx(sk.p_value, rel=0, abs=0)

@@ -337,8 +337,10 @@ class TestTokenHistArrowPlan:
     def test_arrow_bincount_matches_explode_plan(self, spark):
         """The no-explode Arrow flatten+bincount plan must produce counts
         BITWISE identical to the explode + codegen hash-aggregate plan,
-        including NULL token arrays (contribute nothing) and boundary token
-        ids (0 and vocab-1)."""
+        including NULL token arrays (contribute nothing), NULL elements
+        INSIDE arrays (clean_values drops them; the Arrow path must mask,
+        not crash on floor(NaN)->INT64_MIN), and boundary token ids
+        (0 and vocab-1)."""
         from aumos_drift_detector_spark.operators import drift as D
 
         rows = []
@@ -346,7 +348,14 @@ class TestTokenHistArrowPlan:
         for i in range(400):
             toks = rng.integers(0, 50257, rng.integers(1, 60)).tolist()
             rows.append((i % 3, toks))
-        rows += [(0, None), (1, []), (2, [0, 50256, 50256])]
+        rows += [
+            (0, None),
+            (1, []),
+            (2, [0, 50256, 50256]),
+            (0, [None, 7, None]),          # element-level nulls mixed in
+            (1, [None]),                    # all-null list -> contributes 0
+            (2, [50256, None, 0, None, 3]),
+        ]
         df = spark.createDataFrame(rows, "pcode int, tokens array<int>")
 
         arrow = (
@@ -359,7 +368,10 @@ class TestTokenHistArrowPlan:
         )
         from pyspark.sql import functions as F
 
-        exploded = df.select("pcode", F.explode("tokens").alias("token_id"))
+        # production explode path routes through clean_values -> drop nulls
+        exploded = df.select(
+            "pcode", F.explode("tokens").alias("token_id")
+        ).where(F.col("token_id").isNotNull())
         # the explode plan's bin arithmetic (domain branch of
         # _binned_counts_shared_range), side column dropped
         lo, hi, n_bins = 0.0, 50257.0, 256
