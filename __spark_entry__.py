@@ -428,15 +428,25 @@ def _q_macro_f1_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-duplicate pairs — rows-only (hash constants differ
-    per engine, so no SQL oracle; exact-jaccard parity is tested in pytest)."""
+    """MinHash-LSH near-duplicate pairs, oracle-checked end to end (r5).
+
+    ``hash_fn='md5_60'`` swaps the engine hash for a 60-bit md5-derived one
+    both engines compute identically, so DuckDB replays the ENTIRE pipeline
+    — shingles, base hash, the 64 seeded affine permutations mod 2^31-1,
+    component-equality estimator — and brute-forces all pairs with
+    est_jaccard >= 0.5 (``_MINHASH_SQL``). Equality also hard-verifies
+    banded-LSH recall on this data: every such pair shares at least one
+    band bucket. Production default stays xxhash64 (dedup.py parity tests
+    pin estimator-vs-exact behavior there)."""
     from aumos_drift_detector_spark.operators.dedup import minhash_dedup
 
     docs = _t(spark, sf_dir, "documents").withColumn(
         "doc_id", F.col("doc_id").cast("string")
     )
-    return minhash_dedup(docs, "doc_id", "text", threshold=0.5).orderBy(
-        "id_a", "id_b"
+    return (
+        minhash_dedup(docs, "doc_id", "text", threshold=0.5, hash_fn="md5_60")
+        .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+        .orderBy("id_a", "id_b")
     )
 
 
@@ -637,6 +647,75 @@ def _q_dle_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dle_loss_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLE's deterministic half, oracle-checked (r5): the per-sample loss
+    columns (estimation._per_sample_loss, reference dle.py:134-159) are
+    plain expressions — log_loss (clipped -log p_true), absolute/squared
+    error of the argmax prediction — aggregated per loss function in ONE
+    wide pass over the reference side. Only the GBT fit (the ``dle_loss``
+    query) stays rows-only."""
+    from aumos_drift_detector_spark.operators.estimation import _per_sample_loss
+
+    emb = _t(spark, sf_dir, "embeddings")
+    p1 = 1.0 / (1.0 + F.exp(-F.element_at(F.col("embedding"), 1).cast("double")))
+    probe = emb.select(
+        F.col("vec_id"),
+        F.array(F.lit(1.0) - p1, p1).alias("probabilities"),
+        (F.col("label") % 2).alias("label"),
+    ).where(F.col("vec_id") % 2 == 0)
+    fns = ("absolute_error", "log_loss", "squared_error")
+    losses = probe.select(
+        *[_per_sample_loss(fn, "probabilities", "label").alias(fn) for fn in fns]
+    )
+    agg = losses.agg(
+        *[F.round(F.avg(fn), 6).alias(f"mean_{fn}") for fn in fns],
+        *[F.round(F.stddev_pop(fn), 6).alias(f"std_{fn}") for fn in fns],
+        F.count(F.lit(1)).alias("n"),
+    )
+    # long form: one row per loss function (stable row identity for the hash)
+    stacked = agg.selectExpr(
+        "stack(3, "
+        + ", ".join(
+            f"'{fn}', mean_{fn}, std_{fn}, n" for fn in fns
+        )
+        + ") as (loss_function, mean_loss, std_loss, n_samples)"
+    )
+    return stacked.orderBy("loss_function")
+
+
+_DLE_LOSS_COLUMNS_SQL = """
+WITH probe AS (
+  SELECT 1.0 / (1.0 + exp(-(embedding[1]::DOUBLE))) AS p1,
+         (label % 2)::INT AS label
+  FROM embeddings WHERE vec_id % 2 = 0
+),
+ls AS (
+  SELECT CASE WHEN p1 > 1.0 - p1 THEN 1.0 ELSE 0.0 END AS pred,
+         CASE WHEN label = 0 THEN 1.0 - p1 ELSE p1 END AS p_true,
+         label
+  FROM probe
+),
+per AS (
+  SELECT abs(pred - label) AS absolute_error,
+         -ln(least(greatest(p_true, 1e-7), 1.0 - 1e-7)) AS log_loss,
+         (pred - label) * (pred - label) AS squared_error
+  FROM ls
+)
+SELECT * FROM (
+  SELECT 'absolute_error' AS loss_function,
+         round(avg(absolute_error), 6) AS mean_loss,
+         round(stddev_pop(absolute_error), 6) AS std_loss,
+         count(*) AS n_samples FROM per
+  UNION ALL
+  SELECT 'log_loss', round(avg(log_loss), 6), round(stddev_pop(log_loss), 6),
+         count(*) FROM per
+  UNION ALL
+  SELECT 'squared_error', round(avg(squared_error), 6),
+         round(stddev_pop(squared_error), 6), count(*) FROM per
+) ORDER BY loss_function
+"""
+
+
 def _q_retrain_triggers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrain-trigger decisions over per-event_type drift scores — full
     SQL oracle (threshold direction + outcome mapping are relational)."""
@@ -739,8 +818,14 @@ def _q_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidate pairs — rows-only (64-bit signatures use
-    engine-specific xxhash64; hamming semantics are pytest-covered)."""
+    """SimHash near-dup candidate pairs, oracle-checked end to end (r5).
+
+    ``hash_fn='md5_60'`` + 60-bit signatures let DuckDB replay the full
+    pipeline — word hash, per-bit majority vote, signature assembly,
+    hamming via bit_count(xor) — brute-forcing all pairs at max_hamming=3
+    (``_SIMHASH_SQL``). Equality also hard-verifies the pigeonhole banding:
+    any pair within hamming 3 must agree on one of the 4 chunks, so the
+    chunk join loses nothing. Production default stays xxhash64."""
     from aumos_drift_detector_spark.operators.dedup import (
         simhash_candidates,
         simhash_signatures,
@@ -749,7 +834,7 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").withColumn(
         "doc_id", F.col("doc_id").cast("string")
     )
-    sigs = simhash_signatures(docs, "doc_id", "text")
+    sigs = simhash_signatures(docs, "doc_id", "text", bits=60, hash_fn="md5_60")
     return simhash_candidates(sigs, "doc_id", max_hamming=3).orderBy(
         "id_a", "id_b"
     )
@@ -819,17 +904,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "macro_f1_events": _q_macro_f1_events,            # A10/A11
         "adwin_events": _q_adwin_events,                  # C1 (rows-only)
         "mmd_embeddings": _q_mmd_embeddings,              # T8 (rows-only)
-        "minhash_pairs": _q_minhash_pairs,                # dedup (rows-only)
+        "minhash_pairs": _q_minhash_pairs,                # dedup LSH (oracle r5)
         "cusum_events": _q_cusum_events,                  # W6 (rows-only)
         "forecast_events": _q_forecast_events,            # W8 (rows-only)
         "cbpe_sketch": _q_cbpe_sketch,                    # CBPE distributed step
         "cbpe_estimate": _q_cbpe_estimate,                # CBPE (rows-only)
-        "dle_loss": _q_dle_loss,                          # DLE (rows-only)
+        "dle_loss": _q_dle_loss,                          # DLE GBT (rows-only)
+        "dle_loss_columns": _q_dle_loss_columns,          # DLE loss exprs (oracle r5)
         "retrain_triggers": _q_retrain_triggers,          # trigger engine
         "alert_escalation": _q_alert_escalation,          # alert escalation
         "embedding_neardup": _q_embedding_neardup,        # LSH (rows-only)
         "anderson_darling_extendedprice": _q_anderson_darling,  # T7
-        "simhash_pairs": _q_simhash_pairs,                # dedup (rows-only)
+        "simhash_pairs": _q_simhash_pairs,                # dedup (oracle r5)
         "multivariate_drift": _q_multivariate_drift,      # T9/T10 (rows-only)
     }
 
@@ -1381,9 +1467,11 @@ SELECT 'embedding' AS feature,
 """,
         "cusum_events": _CUSUM_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
-        # adwin_events, minhash_pairs, simhash_pairs, cbpe_estimate,
-        # dle_loss, multivariate_drift: rows-only (sequential state
-        # machines, seeded GBT/bootstrap/SVD, engine-specific hash constants)
+        "minhash_pairs": _minhash_sql(),
+        "simhash_pairs": _SIMHASH_SQL,
+        "dle_loss_columns": _DLE_LOSS_COLUMNS_SQL,
+        # adwin_events, cbpe_estimate, dle_loss, multivariate_drift:
+        # rows-only (sequential state machines, seeded GBT/bootstrap/SVD)
     }
 
 
@@ -1461,6 +1549,171 @@ FROM norms a JOIN norms b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.95
 ORDER BY id_a, id_b
 """
+
+
+# SimHash: full-pipeline replay (r5). hash_fn='md5_60' makes the word hash
+# engine-portable (base-16 digit sum of the first 15 md5 hex chars), so
+# DuckDB recomputes the 60-bit majority-vote signatures and brute-forces
+# hamming <= 3 over all pairs via bit_count(xor). Matching the Spark side
+# also proves the pigeonhole chunk join (dedup.py:simhash_candidates) has
+# exact recall at max_hamming < n_chunks.
+_SIMHASH_SQL = r"""
+WITH words AS (
+  SELECT doc_id::VARCHAR AS id, unnest(regexp_split_to_array(text, '\s+')) AS w
+  FROM documents
+),
+wh AS (
+  SELECT id,
+         list_sum([ (strpos('0123456789abcdef', md5(w)[i]) - 1)::BIGINT
+                    * (1::BIGINT << (4*(15-i))) FOR i IN range(1,16)])::BIGINT AS h
+  FROM words
+),
+sigs AS (
+  SELECT id, list_sum([
+      CASE WHEN 2*len(list_filter(hs, x -> (x >> b) & 1 = 1)) > len(hs)
+           THEN (1::BIGINT << b) ELSE 0 END
+      FOR b IN range(0, 60)])::BIGINT AS sig
+  FROM (SELECT id, list(h) AS hs FROM wh GROUP BY id)
+)
+SELECT a.id AS id_a, b.id AS id_b, bit_count(xor(a.sig, b.sig))::INT AS hamming
+FROM sigs a JOIN sigs b ON a.id < b.id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
+def _adwin_sql(n_stages: int = 12, delta: float = 0.002) -> str:
+    """ADWIN full-replay oracle (r5): a DuckDB recursive CTE advances every
+    event_type's exponential-histogram state machine in lockstep, one
+    recursion level per ordered row (the cusum_events replay pattern).
+
+    State is three parallel LIST columns in scan order (lvl asc, newest
+    first): bucket sums (DOUBLE[]), sizes (BIGINT[]), levels (INT[]) —
+    bucket variances are unobservable (they never affect control flow or
+    output) and are dropped. Each step: prepend the new singleton, run
+    ``n_stages`` unrolled compaction stages (each level overflowing
+    max_buckets=5 merges its two OLDEST buckets into the next level — at
+    most one merge per level per update, like a binary-counter carry), then
+    scan head prefixes newest-first for the first cut with
+    ``|head_mean - tail_mean| >= sqrt(ln(4W/delta)/(2W))`` and truncate.
+    Eviction always consumes whole tail buckets (n_drop equals the tail's
+    exact element count), so the fractional branch of concept.AdwinDetector
+    ._evict_tail is unreachable from a scan-triggered cut. n_stages=12
+    covers streams up to ~5*2^12 rows (sf0.01 groups are ~2k).
+
+    The binary err stream ((value>=10)::double) keeps every bucket sum an
+    exact small integer in double, so head/tail means are exact IEEE
+    divisions in both engines — parity is deterministic, not
+    1-ulp-lucky. No '{}' braces so a driver-side .format() is harmless."""
+    compact = []
+    prev = "ins"
+    for i in range(n_stages):
+        compact.append(f"""
+  CROSS JOIN LATERAL (
+    SELECT CASE WHEN h{i}.cnt > 5 THEN list_concat(list_concat({prev}.sl[1:h{i}.b-2], [{prev}.sl[h{i}.b-1] + {prev}.sl[h{i}.b]]), {prev}.sl[h{i}.b+1:]) ELSE {prev}.sl END AS sl,
+           CASE WHEN h{i}.cnt > 5 THEN list_concat(list_concat({prev}.nl[1:h{i}.b-2], [{prev}.nl[h{i}.b-1] + {prev}.nl[h{i}.b]]), {prev}.nl[h{i}.b+1:]) ELSE {prev}.nl END AS nl,
+           CASE WHEN h{i}.cnt > 5 THEN list_concat(list_concat({prev}.ll[1:h{i}.b-2], [{i}+1]), {prev}.ll[h{i}.b+1:]) ELSE {prev}.ll END AS ll
+    FROM (SELECT len(list_filter({prev}.ll, x -> x = {i})) AS cnt,
+                 len(list_filter({prev}.ll, x -> x <= {i})) AS b) h{i}
+  ) c{i}""")
+        prev = f"c{i}"
+    return f"""
+WITH RECURSIVE
+ev AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1 AS idx,
+         event_id AS seq,
+         (CASE WHEN value >= 10.0 THEN 1.0 ELSE 0.0 END)::DOUBLE AS v
+  FROM events WHERE value IS NOT NULL
+),
+rec AS (
+  SELECT event_type, CAST(-1 AS BIGINT) AS idx,
+         CAST([] AS DOUBLE[]) AS sl, CAST([] AS BIGINT[]) AS nl, CAST([] AS INT[]) AS ll,
+         CAST(0.0 AS DOUBLE) AS t, CAST(0 AS BIGINT) AS w, FALSE AS hit
+  FROM (SELECT DISTINCT event_type FROM ev)
+  UNION ALL
+  SELECT z.event_type, z.idx, sc.sl, sc.nl, sc.ll, sc.t, sc.w, sc.hit
+  FROM rec r
+  JOIN ev z ON z.event_type = r.event_type AND z.idx = r.idx + 1
+  CROSS JOIN LATERAL (
+    SELECT list_prepend(z.v, r.sl) AS sl,
+           list_prepend(CAST(1 AS BIGINT), r.nl) AS nl,
+           list_prepend(0, r.ll) AS ll
+  ) ins
+  {''.join(compact)}
+  CROSS JOIN LATERAL (SELECT r.t + z.v AS t, r.w + 1 AS w) up
+  CROSS JOIN LATERAL (
+    SELECT CASE WHEN q.cutk IS NULL THEN {prev}.sl ELSE {prev}.sl[1:q.cutk] END AS sl,
+           CASE WHEN q.cutk IS NULL THEN {prev}.nl ELSE {prev}.nl[1:q.cutk] END AS nl,
+           CASE WHEN q.cutk IS NULL THEN {prev}.ll ELSE {prev}.ll[1:q.cutk] END AS ll,
+           CASE WHEN q.cutk IS NULL THEN up.t ELSE list_sum({prev}.sl[1:q.cutk])::DOUBLE END AS t,
+           CASE WHEN q.cutk IS NULL THEN up.w ELSE list_sum({prev}.nl[1:q.cutk])::BIGINT END AS w,
+           q.cutk IS NOT NULL AS hit
+    FROM (
+      SELECT CASE WHEN up.w < 2 THEN NULL ELSE
+        list_min(list_filter(
+          [CASE WHEN up.w - list_sum({prev}.nl[1:k]) > 0
+                AND abs(list_sum({prev}.sl[1:k])::DOUBLE / list_sum({prev}.nl[1:k])
+                        - (up.t - list_sum({prev}.sl[1:k])::DOUBLE) / (up.w - list_sum({prev}.nl[1:k])))
+                    >= sqrt(ln(4.0 * up.w / {delta}) / (2.0 * up.w))
+                THEN k END
+           FOR k IN range(1, len({prev}.sl)+1)],
+          x -> x IS NOT NULL)) END AS cutk
+    ) q
+  ) sc
+)
+SELECT r.event_type, z.seq, z.v AS value, 'drift' AS level,
+       r.w AS window_size, (r.idx + 1)::BIGINT AS n_updates
+FROM rec r JOIN ev z ON z.event_type = r.event_type AND z.idx = r.idx
+WHERE r.hit
+ORDER BY r.event_type, z.seq
+"""
+
+
+def _minhash_sql() -> str:
+    """MinHash full-pipeline replay (r5): DuckDB recomputes the 3-word
+    shingles (same slice semantics as dedup.word_shingles, incl. the
+    whole-document shingle for short docs), the portable md5_60 base hash,
+    the 64 seeded affine permutations mod 2^31-1 (constants embedded as
+    parallel list literals — seed 42, identical to _permutation_constants),
+    and the component-equality estimator, brute-forced over all pairs at
+    est_jaccard >= 0.5. No '{}' braces anywhere so a driver-side .format()
+    cannot mangle it."""
+    from aumos_drift_detector_spark.operators.dedup import _permutation_constants
+
+    consts = _permutation_constants(64, 42)
+    a_list = "([" + ", ".join(str(a) for a, _ in consts) + "]::BIGINT[])"
+    b_list = "([" + ", ".join(str(b) for _, b in consts) + "]::BIGINT[])"
+    return r"""
+WITH docs AS (
+  SELECT doc_id::VARCHAR AS id, regexp_split_to_array(text, '\s+') AS w
+  FROM documents
+),
+sh AS (
+  SELECT id, list_distinct([array_to_string(w[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(w)-2, 1)+1)]) AS shingles
+  FROM docs
+),
+hs AS (
+  SELECT id,
+         [ (list_sum([ (strpos('0123456789abcdef', md5(s)[i]) - 1)::BIGINT
+                       * (1::BIGINT << (4*(15-i))) FOR i IN range(1,16)])::BIGINT)
+           % 2147483647 FOR s IN shingles ] AS hl
+  FROM sh
+),
+sigs AS (
+  SELECT id, [ list_min([ (PERM_A[j] * h + PERM_B[j]) % 2147483647 FOR h IN hl ])
+               FOR j IN range(1, 65) ] AS sig
+  FROM hs
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(list_sum([CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END
+                       FOR i IN range(1,65)]) / 64.0, 6) AS est_jaccard
+FROM sigs a JOIN sigs b ON a.id < b.id
+WHERE list_sum([CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END
+                FOR i IN range(1,65)]) / 64.0 >= 0.5
+ORDER BY id_a, id_b
+""".replace("PERM_A", a_list).replace("PERM_B", b_list)
 
 
 # chi2: DuckDB lacks the incomplete gamma for the p-value, so the oracle

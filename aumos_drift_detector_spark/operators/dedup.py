@@ -31,6 +31,22 @@ from pyspark.sql import functions as F
 _MERSENNE_P = (1 << 31) - 1
 
 
+def _base_hash(col: Column, hash_fn: str) -> Column:
+    """Base content hash for the sketch families.
+
+    ``xxhash64`` (default) is the fast JVM path. ``md5_60`` is a 60-bit
+    hash derived from the md5 hex digest (conv(substr(md5, 1, 15), 16, 10))
+    — bit-identical in any SQL engine with md5, which makes the whole
+    minhash/simhash pipeline reproducible by an external oracle (DuckDB
+    recomputes it as a base-16 digit sum). Non-negative, fits a signed long.
+    """
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col)
+    if hash_fn == "md5_60":
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_fn: {hash_fn!r} (xxhash64 | md5_60)")
+
+
 def exact_duplicates(df: DataFrame, id_col: str, content_cols: Sequence[str]) -> DataFrame:
     """Exact-duplicate groups by content fingerprint (md5 over all content cols).
 
@@ -93,19 +109,23 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_size: int = 3,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, minhash array<long>) via one base hash + k affine permutations.
 
     Classic trick: instead of k independent hash passes over the shingles,
-    hash each shingle once (xxhash64) and derive permutation i as
-    ``(a_i * h + b_i) mod p`` (p = 2^61-1) — pure column arithmetic, one
-    explode, one aggregate.
+    hash each shingle once (``hash_fn``) and derive permutation i as
+    ``(a_i * h + b_i) mod p`` (p = 2^31-1) — pure column arithmetic, one
+    explode, one aggregate. ``hash_fn='md5_60'`` makes every value
+    reproducible by an external SQL oracle (see ``_base_hash``).
     """
     consts = _permutation_constants(num_hashes, seed)
     exploded = df.select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_size)).alias("shingle"),
-    ).withColumn("h", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE_P)))
+    ).withColumn(
+        "h", F.pmod(_base_hash(F.col("shingle"), hash_fn), F.lit(_MERSENNE_P))
+    )
     aggs = [
         F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MERSENNE_P))).alias(f"mh_{i}")
         for i, (a, b) in enumerate(consts)
@@ -202,10 +222,13 @@ def minhash_dedup(
     shingle_size: int = 3,
     threshold: float = 0.8,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """End-to-end near-dup pairs with est_jaccard >= threshold."""
     rows_per_band = num_hashes // num_bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size, seed)
+    sig = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_size, seed, hash_fn
+    )
     cands = minhash_lsh_candidates(sig, id_col, num_bands, rows_per_band)
     return cands.where(F.col("est_jaccard") >= threshold)
 
@@ -288,16 +311,19 @@ def simhash_signatures(
     id_col: str,
     text_col: str,
     bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash per document: majority vote of word-hash bits.
+    """``bits``-bit SimHash per document: majority vote of word-hash bits.
 
-    For each bit position b, sum +1/−1 votes of xxhash64(word) bit b over all
+    For each bit position b, sum +1/−1 votes of hash(word) bit b over all
     words; the signature bit is 1 iff the sum is positive. All bit math is
     shiftright/&/sum column expressions — one explode + one aggregate.
+    ``hash_fn='md5_60'`` (use with ``bits<=60``) makes the signatures
+    reproducible by an external SQL oracle (see ``_base_hash``).
     """
     words = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("w")
-    ).withColumn("h", F.xxhash64("w"))
+    ).withColumn("h", _base_hash(F.col("w"), hash_fn))
     votes = [
         F.sum(
             (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
