@@ -327,6 +327,12 @@ def psi_test_grouped(
     # per-value sketch fits the collect cap, ONE job + the fused-path driver
     # kernel (exact weighted-percentile edges + searchsorted binning —
     # Spark-percentile parity verified bitwise on the sketch) replaces both.
+    # Deliberate: this path ignores config.approx / exact_quantile_plan —
+    # under the cap the sketch holds the full distribution, so exact edges
+    # are free and the approx knob would only DEGRADE the result at equal
+    # cost. An approx=True config therefore silently upgrades to exact
+    # whenever the column's distinct count fits the cap; above the cap the
+    # distributed fallback below honors the knobs as configured.
     cap = config.sketch_collect_max_rows
     if cap:
         sides = _sides(ref_df, prod_df, column, group_cols)

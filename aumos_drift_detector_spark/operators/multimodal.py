@@ -137,8 +137,12 @@ def _decode_png(payload: bytes) -> np.ndarray:
     idat = bytearray()
     for ctype, data in _png_chunks(payload):
         if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data)
+            if len(data) < 13:
+                raise DecoderUnavailable("truncated PNG IHDR chunk")
+            ihdr = struct.unpack(">IIBBBBB", data[:13])
         elif ctype == b"PLTE":
+            if len(data) == 0 or len(data) % 3:
+                raise DecoderUnavailable("malformed PNG PLTE chunk length")
             palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += data
@@ -155,7 +159,10 @@ def _decode_png(payload: bytes) -> np.ndarray:
     if color == 3 and palette is None:
         raise DecoderUnavailable("palette PNG without PLTE chunk")
 
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise DecoderUnavailable(f"corrupt PNG IDAT stream: {exc}") from exc
     stride = w * channels
     if len(raw) < h * (stride + 1):
         raise DecoderUnavailable("PNG IDAT shorter than h x (stride + 1)")
@@ -201,6 +208,8 @@ def _decode_png(payload: bytes) -> np.ndarray:
     if color == 2:
         return px
     if color == 3:
+        if int(px[:, :, 0].max(initial=0)) >= len(palette):
+            raise DecoderUnavailable("PNG palette index beyond PLTE length")
         return palette[px[:, :, 0]]
     if color == 4:
         return np.repeat(px[:, :, :1], 3, axis=2)

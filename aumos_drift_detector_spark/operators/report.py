@@ -251,10 +251,17 @@ def build_time_series(
 
     Input is the distributed results-history table (feature, ts, score);
     output is {feature: [{"timestamp": iso, "score": float}, ...]} with each
-    feature's points sorted by timestamp — exactly the reference's
-    serialization. One grouped aggregation collects (features x timestamps)
-    cells; like the heatmap, a visualization payload is driver-sized by
-    definition.
+    feature's points sorted by timestamp — the reference's serialization
+    shape. One grouped aggregation collects (features x timestamps) cells;
+    like the heatmap, a visualization payload is driver-sized by definition.
+
+    Documented deviations from ``_build_time_series`` (deliberate, tested):
+    duplicate (feature, ts) points collapse to ``max(score)`` — the
+    reference keeps every pair verbatim, but a distributed history table
+    can legitimately hold one row per partition per timestamp and a chart
+    payload wants one point per x — and a NULL score serializes as 0.0
+    rather than ``null`` (the reference never stores NULL scores; the
+    distributed error-verdict rows do).
     """
     rows = (
         history_df.where(

@@ -185,7 +185,12 @@ def _token_file_task(args: tuple) -> int:
     (re)built independently and in any order. An already-existing file is
     skipped after recomputing only its (cheap) n_tok draw, so interrupted
     generations RESUME instead of restarting — the draws are deterministic,
-    the bytes identical either way. Returns the file's token count.
+    the bytes identical either way. A resumed file is only trusted after a
+    parquet-footer row-count check (catches torn legacy files written
+    before the atomic-rename change, or files from a different
+    rows_per_file layout); generation-parameter changes are caught one
+    level up by the ``_PARAMS.json`` fingerprint in ``fast_token_parquet``.
+    Returns the file's token count.
     """
     import os
 
@@ -197,7 +202,13 @@ def _token_file_task(args: tuple) -> int:
     n_tok = np.clip(rng.lognormal(ntok_mu, 0.6, n), 1, 2048).astype(np.int32)
     path = os.path.join(out_dir, f"part-{file_idx:05d}.parquet")
     if os.path.exists(path):
-        return int(n_tok.sum())
+        try:
+            ok = pq.read_metadata(path).num_rows == n
+        except Exception:
+            ok = False
+        if ok:
+            return int(n_tok.sum())
+        os.remove(path)  # torn or wrong-layout file: rebuild it
     flat = np.searchsorted(
         cdf, rng.random(int(n_tok.sum())), side="right"
     ).astype(np.int32)
@@ -251,6 +262,31 @@ def fast_token_parquet(
         ntok_mu, zipf_a = 5.5, 1.4
 
     os.makedirs(out_dir, exist_ok=True)
+    # Resume safety: a directory generated with DIFFERENT parameters must
+    # not be silently topped up (the per-file skip would keep its files and
+    # the result would match neither parameterization). A _PARAMS.json
+    # fingerprint guards this; a legacy dir without one adopts the current
+    # params (its files still face the per-file row-count check).
+    import json
+
+    fingerprint = {
+        "seed": seed, "ntok_mu": ntok_mu, "zipf_a": zipf_a,
+        "rows_per_file": rows_per_file, "vocab_size": VOCAB_SIZE,
+    }
+    man_path = os.path.join(out_dir, "_PARAMS.json")
+    if os.path.exists(man_path):
+        with open(man_path) as fh:
+            prior = json.load(fh)
+        if prior != fingerprint:
+            raise ValueError(
+                f"{out_dir} was generated with different parameters "
+                f"({prior} != {fingerprint}); clear it before regenerating"
+            )
+    else:
+        tmp_man = man_path + ".tmp"
+        with open(tmp_man, "w") as fh:
+            json.dump(fingerprint, fh)
+        os.replace(tmp_man, man_path)
     # truncated-Zipf token sampling via inverse CDF: rng.zipf uses rejection
     # sampling (slow for a<2 and unbounded); a 50257-entry cumsum +
     # searchsorted draws 10^8 tokens in seconds, bounded and deterministic

@@ -315,6 +315,52 @@ class TestMultimodal:
         with pytest.raises(multimodal.DecoderUnavailable, match="8-bit"):
             multimodal.decode_image_real(deep)
 
+    def test_png_malformed_payloads_raise_decoder_unavailable(self):
+        """Malformed chunks must surface as DecoderUnavailable (the error
+        type every decoder signals and batch callers catch), never raw
+        struct.error / zlib.error / numpy IndexError."""
+        import struct
+        import zlib
+
+        def chunk(ct, data):
+            return (
+                struct.pack(">I", len(data)) + ct + data
+                + struct.pack(">I", zlib.crc32(ct + data) & 0xFFFFFFFF)
+            )
+
+        sig = multimodal._PNG_SIGNATURE
+        ihdr_rgb = chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0))
+        # truncated IHDR (8 of 13 bytes)
+        short = sig + chunk(b"IHDR", b"\x00" * 8) + chunk(
+            b"IDAT", zlib.compress(b"\x00" * 7)) + chunk(b"IEND", b"")
+        with pytest.raises(multimodal.DecoderUnavailable, match="IHDR"):
+            multimodal.decode_image_real(short)
+        # PLTE length not a multiple of 3
+        ihdr_pal = chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+        ragged = sig + ihdr_pal + chunk(b"PLTE", b"\x00" * 4) + chunk(
+            b"IDAT", zlib.compress(b"\x00\x00\x01")) + chunk(b"IEND", b"")
+        with pytest.raises(multimodal.DecoderUnavailable, match="PLTE"):
+            multimodal.decode_image_real(ragged)
+        # corrupt IDAT deflate stream
+        corrupt = sig + ihdr_rgb + chunk(b"IDAT", b"\xde\xad\xbe\xef\x00" * 3
+                                         ) + chunk(b"IEND", b"")
+        with pytest.raises(multimodal.DecoderUnavailable, match="IDAT"):
+            multimodal.decode_image_real(corrupt)
+        # palette index beyond PLTE entry count
+        oob = sig + ihdr_pal + chunk(b"PLTE", b"\x10\x20\x30\x40\x50\x60"
+                                     ) + chunk(
+            b"IDAT", zlib.compress(b"\x00\x05\x01")) + chunk(b"IEND", b"")
+        with pytest.raises(multimodal.DecoderUnavailable, match="palette"):
+            multimodal.decode_image_real(oob)
+        # in-range palette lookups still decode (guard is not over-broad)
+        okpl = sig + ihdr_pal + chunk(b"PLTE", b"\x10\x20\x30\x40\x50\x60"
+                                      ) + chunk(
+            b"IDAT", zlib.compress(b"\x00\x01\x00")) + chunk(b"IEND", b"")
+        got = multimodal.decode_image_real(okpl)
+        np.testing.assert_array_equal(
+            got, np.array([[[0x40, 0x50, 0x60], [0x10, 0x20, 0x30]]], np.uint8)
+        )
+
     def test_png_feature_extraction_end_to_end(self, spark):
         """extract_features over REAL PNG payloads — decode inside the
         mapInPandas batch is the genuine zlib+filter path."""

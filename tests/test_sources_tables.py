@@ -74,3 +74,54 @@ class TestReadSequences:
         df = read_sequences(spark, seq_table)
         assert df.where(F.col("source") == "web").count() == 1
         assert df.where(F.col("source") == "books").count() == 1  # untouched
+
+
+class TestSynthResumeValidation:
+    """Guards the fast_token_parquet resume path: a torn or wrong-layout
+    part file is rebuilt (parquet-footer row-count check), and a directory
+    generated under different parameters refuses to resume (_PARAMS.json
+    fingerprint) instead of silently mixing distributions."""
+
+    def test_torn_file_is_rebuilt_byte_identical(self, tmp_path):
+        import os
+
+        from aumos_drift_detector_spark.sources.synth import fast_token_parquet
+
+        out = str(tmp_path / "tok")
+        fast_token_parquet(out, 3000, seed=3, rows_per_file=1000)
+        target = os.path.join(out, "part-00001.parquet")
+        with open(target, "rb") as fh:
+            want = fh.read()
+        # simulate a torn write from the pre-atomic-rename era
+        with open(target, "wb") as fh:
+            fh.write(want[: len(want) // 3])
+        fast_token_parquet(out, 3000, seed=3, rows_per_file=1000)
+        with open(target, "rb") as fh:
+            assert fh.read() == want  # rebuilt, deterministic bytes
+
+    def test_resume_same_params_keeps_files(self, tmp_path):
+        import os
+
+        from aumos_drift_detector_spark.sources.synth import fast_token_parquet
+
+        out = str(tmp_path / "tok")
+        n1 = fast_token_parquet(out, 2000, seed=3, rows_per_file=1000)
+        mtimes = {
+            f: os.path.getmtime(os.path.join(out, f))
+            for f in os.listdir(out) if f.endswith(".parquet")
+        }
+        n2 = fast_token_parquet(out, 2000, seed=3, rows_per_file=1000)
+        assert n1 == n2
+        for f, m in mtimes.items():
+            assert os.path.getmtime(os.path.join(out, f)) == m  # untouched
+
+    def test_param_change_refuses_resume(self, tmp_path):
+        from aumos_drift_detector_spark.sources.synth import fast_token_parquet
+
+        out = str(tmp_path / "tok")
+        fast_token_parquet(out, 2000, seed=3, rows_per_file=1000)
+        with pytest.raises(ValueError, match="different parameters"):
+            fast_token_parquet(out, 2000, seed=4, rows_per_file=1000)
+        with pytest.raises(ValueError, match="different parameters"):
+            fast_token_parquet(out, 2000, seed=3, drifted=True,
+                               rows_per_file=1000)
