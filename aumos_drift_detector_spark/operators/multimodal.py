@@ -5,11 +5,11 @@ the storage/partitioning/UDF-batching side is fully real. Codec coverage is
 split honestly:
 
 - REAL decoders (pure stdlib/numpy, fully tested end-to-end): PNG (8-bit
-  gray/RGB/palette/RGBA, filters 0-4, zlib inflate — RFC 2083), PPM (P6)
-  and uncompressed 24-bit BMP images; PCM WAV audio (via the stdlib
-  ``wave`` module) with RMS / zero-crossing / duration features and
-  nearest-neighbour resize.
-- Codecs needing external libraries (JPEG/h264/mp3) raise
+  gray/RGB/palette/RGBA, filters 0-4, zlib inflate — RFC 2083), baseline
+  JPEG (T.81 sequential DCT — see jpeg.py), PPM (P6) and uncompressed
+  24-bit BMP images; PCM WAV audio (via the stdlib ``wave`` module) with
+  RMS / zero-crossing / duration features and nearest-neighbour resize.
+- Codecs needing external libraries (progressive JPEG, h264, mp3) raise
   ``DecoderUnavailable`` — PIL/ffmpeg are not in this container; swapping
   them in changes ONLY the inner decode call, never the distributed plan.
 - A sha256-seeded deterministic fake decoder remains for tests that need
@@ -64,8 +64,9 @@ class DecoderUnavailable(NotImplementedError):
 def decode_image_real(payload: bytes) -> np.ndarray:
     """Decode a REAL image payload to (h, w, 3) uint8.
 
-    Dispatches on magic bytes: binary PPM (P6) and uncompressed 24-bit BMP
-    decode here in pure numpy; compressed formats (PNG/JPEG/...) raise
+    Dispatches on magic bytes: binary PPM (P6), uncompressed 24-bit BMP,
+    PNG (stdlib zlib + filter reversal below), and baseline JPEG (the
+    pure-numpy T.81 codec in jpeg.py). Other formats raise
     ``DecoderUnavailable`` — their codecs are not in this container.
     """
     if payload[:2] == b"P6":
@@ -74,8 +75,12 @@ def decode_image_real(payload: bytes) -> np.ndarray:
         return _decode_bmp24(payload)
     if payload[:8] == _PNG_SIGNATURE:
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg  # deferred: jpeg.py imports this module
+
+        return decode_jpeg(payload)
     raise DecoderUnavailable(
-        "only PPM(P6)/BMP24/PNG decode in-container; JPEG needs PIL/opencv"
+        "only PPM(P6)/BMP24/PNG/baseline-JPEG decode in-container"
     )
 
 

@@ -257,7 +257,7 @@ class TestMultimodal:
 
     def test_compressed_codecs_gated(self):
         with pytest.raises(multimodal.DecoderUnavailable):
-            multimodal.decode_image_real(b"\xff\xd8\xff\xe0JFIF")  # JPEG stub
+            multimodal.decode_image_real(b"\xff\xd8\xff\xe0JFIF")  # truncated JPEG
         with pytest.raises(multimodal.DecoderUnavailable):
             multimodal.decode_image_real(b"\x89PNG\r\n")  # truncated signature
 
@@ -380,6 +380,88 @@ class TestMultimodal:
             .sort_values("doc_id")
         )
         assert len(feats) == 4
+        assert ((feats["feat_mean"] >= 0) & (feats["feat_mean"] <= 1)).all()
+
+    def test_jpeg_roundtrip_flat_and_gradient(self):
+        """Baseline JPEG (T.81, Annex K tables): flat color is lossless at
+        q=95 (every AC coefficient is 0); smooth gradients bound the DCT
+        quantization error; both subsampling modes exercise the MCU
+        interleave + chroma upsample paths."""
+        from aumos_drift_detector_spark.operators import jpeg
+
+        flat = np.full((16, 24, 3), [200, 64, 140], dtype=np.uint8)
+        got = jpeg.decode_jpeg(jpeg.encode_jpeg(flat, quality=95))
+        np.testing.assert_array_equal(got, flat)
+
+        y, x = np.mgrid[0:33, 0:41]  # odd dims: non-MCU-aligned crop
+        grad = np.stack(
+            [(y * 3) % 256, (x * 2 + 40) % 256, ((x + y) * 2) % 256], axis=2
+        ).astype(np.uint8)
+        for ss, tol in [("4:4:4", 4), ("4:2:0", 8)]:
+            out = jpeg.decode_jpeg(jpeg.encode_jpeg(grad, 95, subsampling=ss))
+            assert out.shape == grad.shape
+            err = np.abs(out.astype(int) - grad.astype(int))
+            assert err.max() <= tol, (ss, err.max())
+
+    def test_jpeg_noise_statistics_survive(self):
+        """q=90 on dense noise: exercises long Huffman codes, ZRL runs and
+        byte stuffing; the reconstruction must track the source closely."""
+        from aumos_drift_detector_spark.operators import jpeg
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+        out = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90))
+        corr = np.corrcoef(img.ravel().astype(float), out.ravel().astype(float))
+        assert corr[0, 1] > 0.98
+        # deterministic codec: same input -> same bytes
+        assert jpeg.encode_jpeg(img, 90) == jpeg.encode_jpeg(img, 90)
+
+    def test_jpeg_grayscale_single_component(self):
+        from aumos_drift_detector_spark.operators import jpeg
+
+        y, x = np.mgrid[0:13, 0:11]
+        g = ((y * 9 + x * 5) % 256).astype(np.uint8)
+        out = jpeg.decode_jpeg(jpeg.encode_jpeg(g, 95, subsampling="gray"))
+        assert out.shape == (13, 11, 3)
+        err = np.abs(out[:, :, 0].astype(int) - g.astype(int))
+        assert err.max() <= 4
+        np.testing.assert_array_equal(out[:, :, 0], out[:, :, 1])  # broadcast
+
+    def test_jpeg_nonbaseline_and_malformed_gated(self):
+        from aumos_drift_detector_spark.operators import jpeg
+
+        img = np.zeros((8, 8, 3), dtype=np.uint8)
+        payload = jpeg.encode_jpeg(img, 90)
+        # flip SOF0 -> SOF2 (progressive): must gate, not misdecode
+        prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+        with pytest.raises(multimodal.DecoderUnavailable, match="progressive"):
+            jpeg.decode_jpeg(prog)
+        # truncated entropy stream
+        with pytest.raises(multimodal.DecoderUnavailable):
+            jpeg.decode_jpeg(payload[: len(payload) - 12] )
+        # dispatches through decode_image_real on magic bytes
+        got = multimodal.decode_image_real(payload)
+        assert got.shape == (8, 8, 3)
+
+    def test_jpeg_feature_extraction_end_to_end(self, spark):
+        """extract_features over REAL JPEG payloads inside mapInPandas."""
+        from aumos_drift_detector_spark.operators import jpeg
+
+        rng = np.random.default_rng(12)
+        rows = []
+        for k in range(3):
+            img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+            rows.append(
+                (f"j{k}", "image", bytearray(jpeg.encode_jpeg(img, 90)),
+                 (16, 16, None, None, "jpeg"))
+            )
+        media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+        feats = (
+            multimodal.extract_features(media, use_fake_decoder=False)
+            .toPandas()
+            .sort_values("doc_id")
+        )
+        assert len(feats) == 3
         assert ((feats["feat_mean"] >= 0) & (feats["feat_mean"] <= 1)).all()
 
     def test_real_ppm_roundtrip_and_resize(self):
