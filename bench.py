@@ -455,16 +455,24 @@ def main() -> None:
     # same-day ratio (the r4 4M --scaling attempts each had one level land
     # in a burst — contention indices recorded in BENCH/BASELINE.md).
     result["scaling_last_measured"] = {
-        "r4_16M_rows": {
+        "r5_16M_rows_three_point": {
             "local8_wall_sec": 299.03,
+            "local16_wall_sec": 130.76,
             "local32_wall_sec": 74.04,
+            "local16_sequences_per_sec": 122365.2,
             "local32_sequences_per_sec": 216086.0,
             "local32_tokens_per_sec": 63173687.3,
+            "speedup_8_to_16": 2.29,
+            "speedup_16_to_32": 1.77,
             "speedup_8_to_32": 4.04,
+            "efficiency_8_to_16_vs_linear": 1.14,
+            "efficiency_16_to_32_vs_linear": 0.88,
             "efficiency_8_to_32_vs_linear": 1.01,
             # heap scales with cores (12g@8 -> 24g@32) by design: N->4N
             # EXECUTORS bring 4N memory; a constant-heap comparison would
-            # starve the 4N level (BASELINE.md protocol note)
+            # starve the 4N level (BASELINE.md protocol note). The r5
+            # local[16] point was measured in a gate-clean window
+            # (load_avg 0.29, burn 0.243s); full curve in BASELINE.md.
             "token_rows": 16_000_000,
             "measured_at": "2026-08-17",
         },
