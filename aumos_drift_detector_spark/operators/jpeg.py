@@ -317,7 +317,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     qts, dc_tabs, ac_tabs, dri,
                 )
             i += 2 + seglen
-    except (struct.error, IndexError) as exc:
+    except (struct.error, IndexError, KeyError, ValueError) as exc:
+        # short DQT/DHT buffers surface as numpy ValueError, mismatched
+        # SOS component ids as KeyError — all are malformed-payload shapes
         raise DecoderUnavailable(f"malformed JPEG structure: {exc}") from exc
     raise DecoderUnavailable("JPEG has no SOS scan")
 
@@ -327,6 +329,9 @@ def _decode_scan(payload, start, frame, scan_tabs, qts, dc_tabs, ac_tabs,
     h, w, comps = frame
     if h == 0 or w == 0:
         raise DecoderUnavailable("JPEG with zero dimension")
+    if h * w > 100_000_000:  # 100 MP: refuse before allocating planes a
+        # malformed/hostile SOF could size at gigabytes
+        raise DecoderUnavailable(f"JPEG dimensions {w}x{h} beyond decode cap")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
