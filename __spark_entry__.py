@@ -3,11 +3,14 @@
 ``entry(spark)`` runs the flagship grouped PSI drift check on sf0.001.
 ``queries()`` exposes one callable per implemented operator family
 (SURVEY.md §2); ``oracle_sql()`` gives the DuckDB-equivalent SQL for each.
-Six rows-only checks omit the oracle (ADWIN's adaptive-window state machine,
-MinHash/SimHash engine-specific hash constants, CBPE/DLE seeded
-bootstrap/GBT, iterative-SVD multivariate drift); CUSUM replays via a
-recursive CTE and embedding near-dup verifies against the brute-force
-exact-cosine pair set, so both ARE oracle-checked (round 4).
+Three rows-only checks omit the oracle (CBPE's seeded bootstrap, DLE's GBT
+fit, iterative-SVD multivariate drift — all beyond DuckDB SQL); everything
+else is oracle-checked, including the sequential state machines: CUSUM and
+ADWIN replay via recursive CTEs (r4/r5), MinHash re-derives the full
+shingle->md5_60->permutation pipeline, SimHash recomputes hamming via
+xor+bit_count, embedding near-dup verifies against the brute-force
+exact-cosine pair set, and DLE's deterministic per-sample loss columns
+check as ``dle_loss_columns`` (r5).
 
 Float columns are rounded identically on both sides so the driver's
 order-insensitive value-hash compares stably across engines.
@@ -1680,7 +1683,7 @@ rec AS (
   SELECT event_type, CAST(-1 AS BIGINT) AS idx,
          CAST([] AS DOUBLE[]) AS sl, CAST([] AS BIGINT[]) AS nl, CAST([] AS INT[]) AS ll,
          CAST(0.0 AS DOUBLE) AS t, CAST(0 AS BIGINT) AS w, FALSE AS hit
-  FROM (SELECT DISTINCT event_type FROM ev)
+  FROM (SELECT DISTINCT event_type FROM events)
   UNION ALL
   SELECT z.event_type, z.idx, sc.sl, sc.nl, sc.ll, sc.t, sc.w, sc.hit
   FROM rec r
@@ -1688,12 +1691,35 @@ rec AS (
   CROSS JOIN LATERAL (
 {step}
   ) sc
+),
+hits AS (
+  SELECT r.event_type, z.seq, z.v AS value, 'drift' AS level,
+         r.w AS window_size, (r.idx + 1)::BIGINT AS n_updates
+  FROM rec r JOIN ev z ON z.event_type = r.event_type AND z.idx = r.idx
+  WHERE r.hit
+),
+-- replay_detector(events_only=True) parity: a stream that never drifts
+-- still emits ONE terminal row (level='normal', value=NaN, seq = the
+-- group's LAST event_id including NULL-valued rows, final window/update
+-- counts). The recursion's max-idx row per group IS that final state;
+-- rec is seeded from raw events (not ev) so all-NULL groups keep their
+-- idx=-1 seed (w=0, n_updates=0) instead of vanishing.
+final_state AS (
+  SELECT r.event_type, r.w, (r.idx + 1)::BIGINT AS n_updates
+  FROM rec r
+  JOIN (SELECT event_type, max(idx) AS mi FROM rec GROUP BY event_type) q
+    ON q.event_type = r.event_type AND q.mi = r.idx
+),
+terminal AS (
+  SELECT f.event_type, l.seq, 'nan'::DOUBLE AS value, 'normal' AS level,
+         f.w AS window_size, f.n_updates
+  FROM final_state f
+  JOIN (SELECT event_type, max(event_id) AS seq FROM events GROUP BY event_type) l
+    ON l.event_type = f.event_type
+  WHERE f.event_type NOT IN (SELECT event_type FROM hits)
 )
-SELECT r.event_type, z.seq, z.v AS value, 'drift' AS level,
-       r.w AS window_size, (r.idx + 1)::BIGINT AS n_updates
-FROM rec r JOIN ev z ON z.event_type = r.event_type AND z.idx = r.idx
-WHERE r.hit
-ORDER BY r.event_type, z.seq
+SELECT * FROM hits UNION ALL SELECT * FROM terminal
+ORDER BY event_type, seq
 """
 
 

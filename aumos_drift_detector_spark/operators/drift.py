@@ -1200,13 +1200,6 @@ def _phase2_topk_pdf(
     )
 
 
-def _key_mask(sub: pd.DataFrame, g: str, kv):
-    """NULL-safe group-key equality for the pandas finalize (NaN != NaN)."""
-    if kv is None or (isinstance(kv, float) and np.isnan(kv)):
-        return sub[g].isna()
-    return sub[g] == kv
-
-
 def _iter_group_subframes(pdf: pd.DataFrame, group_cols: Sequence[str]):
     """Yield ``(key_tuple, sub_frame)`` per distinct group via ONE pandas
     hash-groupby pass — O(sketch_rows) total, replacing the per-key
@@ -1215,7 +1208,8 @@ def _iter_group_subframes(pdf: pd.DataFrame, group_cols: Sequence[str]):
 
     Groups appear in first-occurrence order (``sort=False``), matching the
     old ``drop_duplicates().itertuples()`` iteration. NULL keys are kept
-    (``dropna=False``) with ``_key_mask`` semantics. Key values are read
+    (``dropna=False``), NaN grouping with NaN (the old code used an
+    explicit isna() mask for this). Key values are read
     back from each subframe's first row rather than from pandas' groupby
     labels, so the tuples carry the exact stored objects (None stays None
     in object columns, numpy scalars keep their dtype) — byte-identical to

@@ -243,9 +243,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline sequential JFIF decode to (h, w, 3) uint8 RGB.
 
     Grayscale (one component) broadcasts to 3 channels; 3-component scans
-    support any sampling factors in 1..4 (4:4:4, 4:2:2 and 4:2:0 covered
-    by the encoder round-trip tests). Malformed or non-baseline payloads
-    raise ``DecoderUnavailable``.
+    support sampling factors in 1..4 whose ratios to the max factor are
+    integral — i.e. every real-world layout (4:4:4, 4:2:2, 4:2:0, 4:1:1;
+    the same restriction libjpeg imposes). Malformed or non-baseline
+    payloads raise ``DecoderUnavailable``.
     """
     if payload[:2] != b"\xff\xd8":
         raise DecoderUnavailable("not a JPEG (missing SOI)")
@@ -294,7 +295,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps = []
                 for c in range(nc):
                     cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
-                    comps.append((cid, hv >> 4, hv & 0x0F, tq))
+                    hi, vi = hv >> 4, hv & 0x0F
+                    if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                        raise DecoderUnavailable(
+                            f"JPEG sampling factor {hi}x{vi} out of range"
+                        )
+                    comps.append((cid, hi, vi, tq))
                 frame = (h, w, comps)
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -334,6 +340,15 @@ def _decode_scan(payload, start, frame, scan_tabs, qts, dc_tabs, ac_tabs,
         raise DecoderUnavailable(f"JPEG dimensions {w}x{h} beyond decode cap")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
+    for _cid, hi, vi, _tq in comps:
+        if hmax % hi or vmax % vi:
+            # np.repeat upsampling needs integral ratios; every JPEG in the
+            # wild (4:4:4 / 4:2:2 / 4:2:0 / 4:1:1) satisfies this — libjpeg
+            # imposes the same restriction ("fancy" ratios like 3:2 would
+            # otherwise decode with silently misaligned chroma)
+            raise DecoderUnavailable(
+                f"non-integral JPEG sampling ratio {hi}x{vi} vs {hmax}x{vmax}"
+            )
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     planes = {}

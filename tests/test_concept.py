@@ -231,3 +231,65 @@ class TestSparkReplay:
         df = spark.createDataFrame(rows, ["stream_id", "seq", "error"])
         out = replay_detector(df, ["stream_id"], "seq", "error", "adwin").toPandas()
         assert (out["level"] == DRIFT).any()
+
+
+class TestAdwinOracleParity:
+    """The driver-contract ADWIN oracle (__spark_entry__._adwin_sql) must
+    match replay_detector on EVERY stream shape — including the terminal
+    normal row a driftless or all-NULL stream emits (events_only=True),
+    which sf0.01 never exercises because all its streams drift."""
+
+    def test_driftless_and_allnull_streams_match_oracle(self, spark, tmp_path):
+        import duckdb
+
+        import __spark_entry__ as entrymod
+
+        rng = np.random.default_rng(11)
+        rows = []
+        # 'hot': drifts (error rate 0.1 -> 0.9 at midpoint)
+        for i in range(400):
+            p = 0.1 if i < 200 else 0.9
+            rows.append((i, "hot", 20.0 if rng.random() < p else 0.0))
+        # 'calm': constant zero-error stream — ADWIN never cuts (any
+        # nonzero spike rate can legitimately fire the simplified ADWIN)
+        for i in range(400):
+            rows.append((i, "calm", 0.0))
+        # 'void': every value NULL — detector never updates
+        for i in range(50):
+            rows.append((i, "void", None))
+        pdf = pd.DataFrame(rows, columns=["event_id", "event_type", "value"])
+        sf_dir = str(tmp_path / "sf")
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(sf_dir + "/events.parquet")
+
+        sdf = (
+            entrymod._q_adwin_events(spark, sf_dir)
+            .toPandas()
+            .sort_values(["event_type", "seq"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet/*.parquet')"
+        )
+        odf = (
+            con.sql(entrymod._adwin_sql())
+            .df()
+            .sort_values(["event_type", "seq"])
+            .reset_index(drop=True)
+        )
+        assert set(sdf["event_type"]) == {"hot", "calm", "void"}
+        # terminal rows for the silent streams
+        for g, n_upd in [("calm", 400), ("void", 0)]:
+            srow = sdf[sdf["event_type"] == g]
+            assert len(srow) == 1 and srow.iloc[0]["level"] == "normal", g
+            assert srow.iloc[0]["n_updates"] == n_upd, g
+        # drift events for the hot stream
+        assert (sdf[sdf["event_type"] == "hot"]["level"] == "drift").all()
+        assert len(sdf[sdf["event_type"] == "hot"]) >= 1
+
+        assert len(sdf) == len(odf)
+        for col in ["event_type", "seq", "level", "window_size", "n_updates"]:
+            assert sdf[col].tolist() == odf[col].tolist(), col
+        sv, ov = sdf["value"].to_numpy(), odf["value"].to_numpy()
+        both_nan = np.isnan(sv) & np.isnan(ov)
+        assert np.all(both_nan | (sv == ov))

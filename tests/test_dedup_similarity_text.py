@@ -436,6 +436,19 @@ class TestMultimodal:
         prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
         with pytest.raises(multimodal.DecoderUnavailable, match="progressive"):
             jpeg.decode_jpeg(prog)
+        # zero sampling factor: gate, never ZeroDivisionError
+        i = payload.index(b"\xff\xc0")
+        zero_hv = payload[: i + 11] + b"\x00" + payload[i + 12 :]
+        with pytest.raises(multimodal.DecoderUnavailable, match="sampling"):
+            jpeg.decode_jpeg(zero_hv)
+        # non-integral sampling ratio (Y 4x4 vs chroma 3x3): gate, never
+        # silently-misaligned chroma
+        p420 = jpeg.encode_jpeg(img, 90, subsampling="4:2:0")
+        j = p420.index(b"\xff\xc0")
+        odd = (p420[: j + 11] + b"\x44" + p420[j + 12 : j + 14]
+               + b"\x33" + p420[j + 15 : j + 17] + b"\x33" + p420[j + 18 :])
+        with pytest.raises(multimodal.DecoderUnavailable, match="sampling"):
+            jpeg.decode_jpeg(odd)
         # truncated entropy stream
         with pytest.raises(multimodal.DecoderUnavailable):
             jpeg.decode_jpeg(payload[: len(payload) - 12] )
