@@ -909,9 +909,14 @@ class TestThousandGroupScale:
         import time
 
         sketch = self._sketch(self.N_GROUPS)
-        t0 = time.monotonic()
-        fused = drift.fused_tests_from_sketch(sketch, ("g",), "x")
-        wall_1000 = time.monotonic() - t0
+        # min-of-2: the first call pays pandas/numpy warmup and is exposed to
+        # external load bursts; one clean repeat keeps the ratio assertion
+        # about algorithmic cost, not scheduler noise
+        wall_1000 = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            fused = drift.fused_tests_from_sketch(sketch, ("g",), "x")
+            wall_1000 = min(wall_1000, time.monotonic() - t0)
         for name in ("psi", "ks", "jensen_shannon", "wasserstein"):
             frame = fused[name]
             assert len(frame) == self.N_GROUPS, name
@@ -941,9 +946,11 @@ class TestThousandGroupScale:
         # per-group size must cost well under the quadratic 16x (generous
         # 10x bound absorbs CI noise)
         quarter = self._sketch(self.N_GROUPS // 4)
-        t0 = time.monotonic()
-        drift.fused_tests_from_sketch(quarter, ("g",), "x")
-        wall_250 = time.monotonic() - t0
+        wall_250 = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            drift.fused_tests_from_sketch(quarter, ("g",), "x")
+            wall_250 = min(wall_250, time.monotonic() - t0)
         assert wall_1000 < 10 * max(wall_250, 1e-3), (wall_1000, wall_250)
         assert wall_1000 < 30.0  # absolute sanity bound
 
