@@ -140,6 +140,15 @@ class ValidationSettings:
     # Sampling (token_sample_fraction < 1) always uses the explode plan,
     # whose row-sampling semantics it is defined over.
     token_hist_arrow: bool = True
+    # Independent heavy jobs (violation write, fused sketch, token
+    # histogram) are submitted concurrently: overlapping them hides each
+    # job's serial driver/codegen latency — the Amdahl term that capped
+    # 8->32 scaling. None = concurrent (the measured default; see
+    # ``_resolve_pool_workers`` for the r5 sequential-vs-concurrent
+    # experiment that pinned this). An int pins the pool size
+    # (1 = strictly sequential jobs, useful for per-stage decomposition:
+    # sequential job walls don't include pool queueing).
+    max_concurrent_jobs: int | None = None
     engine: EngineConfig = field(default_factory=lambda: DEFAULT_CONFIG)
 
 
@@ -225,6 +234,33 @@ class ValidationRun:
             violation_counts=violation_counts,
             wall_ms=wall_ms,
         )
+
+    # -- job concurrency ------------------------------------------------------
+
+    #: pool size when unpinned: violations write + fused sketch + token
+    #: histogram (3 heavy) with headroom for the non-fused 5-job shape
+    POOL_WORKERS_CONCURRENT = 6
+
+    def _resolve_pool_workers(self) -> int:
+        """Pool size for the batch's independent heavy jobs.
+
+        ``settings.max_concurrent_jobs`` pins it (1 = strictly sequential);
+        None = concurrent. Concurrent is the MEASURED default, not a guess:
+        an r5 hypothesis held that once input outgrew the heap the
+        overlapping working sets would thrash and sequential would win, so
+        the 32-core / 24g-heap sandbox ran the decisive pair on identical
+        25 GB (32M-row) input — concurrent pass 400s, strictly sequential
+        pass 891s (token_hist 677s after the violations job had filled the
+        heap vs 394s overlapped). Fresh-JVM per-stage decomposition
+        (scripts/diag_tokhist_scale.py) shows every stage scales linearly
+        16M->32M alone with negligible GC, i.e. the slowdown sequential
+        "avoids" doesn't come from the plan at all — it comes from running
+        late in a dirty JVM, which sequential ordering maximises.
+        Concurrency lets the heavy scans share the fresh heap instead.
+        """
+        if self.s.max_concurrent_jobs is not None:
+            return max(1, int(self.s.max_concurrent_jobs))
+        return self.POOL_WORKERS_CONCURRENT
 
     # -- one commit unit ----------------------------------------------------
 
@@ -452,7 +488,11 @@ class ValidationRun:
                     job_walls[name] = round(time.monotonic() - jt, 2)
             return run
 
-        with ThreadPoolExecutor(max_workers=6) as pool:
+        pool_workers = self._resolve_pool_workers()
+        job_walls["_pool_workers"] = pool_workers
+        with ThreadPoolExecutor(max_workers=pool_workers) as pool:
+            # submission order matters at max_workers=1: the violations
+            # write releases its memory before the sketch/histogram scans
             fut_vio = pool.submit(timed("violations", job_violations))
             if s.fused_ntok_drift:
                 # the sketch job replaces the standalone profile job too —
@@ -474,7 +514,6 @@ class ValidationRun:
             fut_tok = pool.submit(timed("token_hist", job_token_hist))
 
             vio_counts = fut_vio.result()
-            job_walls["_pool_wall"] = round(time.monotonic() - tb, 2)
             if s.fused_ntok_drift:
                 sketch_pdf = fut_sketch.result()
                 # sketch sides are (base=ref, cur=prod); the profile
@@ -498,6 +537,9 @@ class ValidationRun:
                     ("jensen_shannon", fut_js.result()),
                 ]
             tok_counts_pdf = fut_tok.result()
+            # true span of the job pool (r5 fix: this used to be stamped
+            # after the violations future alone, under-reporting the pool)
+            job_walls["_pool_wall"] = round(time.monotonic() - tb, 2)
 
         # ---- finalize (driver-side, sketch-sized) ---------------------------
         batch_rows: list[dict] = []
