@@ -455,6 +455,22 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train docs containing a bench doc by
+    3-word-shingle containment >= 0.5. The deterministic doc_id % 20 split
+    carves a 5% 'benchmark' out of documents; DuckDB brute-forces exact
+    containment over all train x bench pairs (the planted near-dup pairs
+    that straddle the split are the expected hits)."""
+    from aumos_drift_detector_spark.operators.dedup import decontamination_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    return decontamination_pairs(
+        train, bench, "doc_id", "text", shingle_size=3, threshold=0.5
+    ).orderBy("train_id", "bench_id")
+
+
 def _q_hellinger_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5 GROUPED: hellinger per document language — hard-verifies the
     grouped two-sample path (one job, every group) against per-group SQL."""
@@ -910,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adwin_events": _q_adwin_events,                  # C1 (rows-only)
         "mmd_embeddings": _q_mmd_embeddings,              # T8 (rows-only)
         "minhash_pairs": _q_minhash_pairs,                # dedup LSH (oracle r5)
+        "decontamination_pairs": _q_decontamination,      # LLM decontamination (r5)
         "cusum_events": _q_cusum_events,                  # W6 (rows-only)
         "forecast_events": _q_forecast_events,            # W8 (rows-only)
         "cbpe_sketch": _q_cbpe_sketch,                    # CBPE distributed step
@@ -1473,12 +1490,43 @@ SELECT 'embedding' AS feature,
         "cusum_events": _CUSUM_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
         "minhash_pairs": _minhash_sql(),
+        "decontamination_pairs": _DECON_SQL,
         "simhash_pairs": _SIMHASH_SQL,
         "dle_loss_columns": _DLE_LOSS_COLUMNS_SQL,
         "adwin_events": _adwin_sql(),
         # cbpe_estimate, dle_loss, multivariate_drift:
         # rows-only (seeded bootstrap / GBT fit / SVD — beyond DuckDB SQL)
     }
+
+
+# Decontamination: exact brute-force containment over all train x bench
+# pairs at sf0.01 (475 x 25). Shingle construction replays
+# dedup.word_shingles verbatim (regexp split on \s+, inclusive 3-word
+# slices, whole-document shingle for short docs, distinct). Rounding to 6dp
+# happens BEFORE the threshold on both sides so the boundary can't flip.
+_DECON_SQL = r"""
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(text, '\s+') AS w,
+         doc_id % 20 = 0 AS is_bench
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, is_bench,
+         list_distinct([array_to_string(w[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(w)-2, 1)+1)]) AS shingles
+  FROM docs
+)
+SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
+       len(list_intersect(t.shingles, b.shingles))::BIGINT AS n_common,
+       len(b.shingles)::BIGINT AS bench_total,
+       round(len(list_intersect(t.shingles, b.shingles)) * 1.0
+             / len(b.shingles), 6) AS containment
+FROM (SELECT * FROM sh WHERE NOT is_bench) t,
+     (SELECT * FROM sh WHERE is_bench) b
+WHERE round(len(list_intersect(t.shingles, b.shingles)) * 1.0
+            / len(b.shingles), 6) >= 0.5
+ORDER BY train_id, bench_id
+"""
 
 
 # CUSUM: deterministic per-step recurrence (normalize by global mean/sample

@@ -306,6 +306,63 @@ def ngram_jaccard_pairs(
     return jac.where(F.col("jaccard") >= threshold)
 
 
+def decontamination_pairs(
+    train_df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark-contamination check: which train docs CONTAIN a bench doc.
+
+    Asymmetric n-gram containment ``|S(train) ∩ S(bench)| / |S(bench)|`` —
+    the standard decontamination measure from the published GPT-3/PaLM
+    procedures (a long training document contains a short benchmark item
+    outright even though symmetric Jaccard against it would be tiny).
+    Output: (train_id, bench_id, n_common, bench_total, containment) for
+    pairs whose rounded containment meets ``threshold``.
+
+    Scale plan: the benchmark side is small BY CONSTRUCTION (eval sets are
+    thousands of rows; train is the 100-TB side), so its exploded shingle
+    postings — carrying the per-doc set size, avoiding a second join — are
+    broadcast. ONE streaming scan of train feeds a broadcast hash join on
+    shingle; only genuinely matching (train, bench, shingle) rows exist
+    after the join, so the shuffle into the pair aggregation moves matched
+    shingles only, never an all-pairs frame. The denominator is
+    bench-only, so no train-side set sizes (and no second train scan) are
+    needed. Shingles are distinct per doc on both sides (word_shingles),
+    so the join emits each common shingle exactly once per pair.
+
+    Reference analogue: none (the reference has no dedup surface); this
+    extends the LLM-pipeline operator family alongside ngram_jaccard_pairs.
+    """
+    t_posts = train_df.select(
+        F.col(id_col).alias("train_id"),
+        F.explode(word_shingles(F.col(text_col), shingle_size)).alias("shingle"),
+    )
+    b_posts = bench_df.select(
+        F.col(id_col).alias("bench_id"),
+        word_shingles(F.col(text_col), shingle_size).alias("sh"),
+    ).select(
+        "bench_id",
+        F.size("sh").cast("long").alias("bench_total"),
+        F.explode("sh").alias("shingle"),
+    )
+    return (
+        t_posts.join(F.broadcast(b_posts), "shingle")
+        .groupBy("train_id", "bench_id", "bench_total")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        # round BEFORE thresholding so an oracle replaying the same rounded
+        # arithmetic can never disagree at the threshold boundary
+        .withColumn(
+            "containment", F.round(F.col("n_common") / F.col("bench_total"), 6)
+        )
+        .where(F.col("containment") >= threshold)
+        .select("train_id", "bench_id", "n_common", "bench_total", "containment")
+    )
+
+
 def simhash_signatures(
     df: DataFrame,
     id_col: str,

@@ -49,10 +49,11 @@ def main():
             ).toPandas()
         )
         r["token_hist_arrow_cur"] = timed(
+            # .toPandas() forces execution — the builder alone is lazy
             lambda: D.binned_counts_fixed_domain_arrow(
                 cur.withColumn("_pcode", F.lit(0)).select("_pcode", "tokens"),
                 "_pcode", "tokens", 256, (0, VOCAB_SIZE),
-            )
+            ).toPandas()
         )
         out[rows] = r
         print(json.dumps({rows: r}), flush=True)

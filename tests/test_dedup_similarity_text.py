@@ -96,6 +96,73 @@ class TestNgramJaccard:
         assert pairmap[("d1", "d3")] == pytest.approx(len(a & b) / len(a | b))
 
 
+class TestDecontamination:
+    def _split(self, spark):
+        # bench b1 is fully contained in train t1 (GPT-3-style contamination:
+        # the eval item appears verbatim inside a longer training doc);
+        # b2 is unrelated; t3 is a SHORT train doc (< 3 words -> whole-doc
+        # shingle) equal to bench b3 — the short-doc path must still match.
+        bench = spark.createDataFrame(
+            [
+                ("b1", "quick brown fox jumps over the lazy dog"),
+                ("b2", "unrelated benchmark question about astronomy facts"),
+                ("b3", "tiny doc"),
+            ],
+            ["doc_id", "text"],
+        )
+        train = spark.createDataFrame(
+            [
+                ("t1", "preamble text then quick brown fox jumps over the lazy dog and a closing line"),
+                ("t2", "completely different training text with no overlap at all whatsoever"),
+                ("t3", "tiny doc"),
+            ],
+            ["doc_id", "text"],
+        )
+        return train, bench
+
+    def test_containment_pairs_exact(self, spark):
+        train, bench = self._split(spark)
+        got = (
+            dedup.decontamination_pairs(train, bench, "doc_id", "text", 3, 0.5)
+            .orderBy("train_id", "bench_id")
+            .collect()
+        )
+        assert [(r["train_id"], r["bench_id"]) for r in got] == [
+            ("t1", "b1"), ("t3", "b3"),
+        ]
+        full = {(r["train_id"], r["bench_id"]): r for r in got}
+        # b1 (8 words) has 6 distinct 3-shingles, all present in t1
+        r = full[("t1", "b1")]
+        assert r["n_common"] == r["bench_total"] == 6
+        assert r["containment"] == 1.0
+        # whole-document shingle path: 1/1
+        r = full[("t3", "b3")]
+        assert (r["n_common"], r["bench_total"], r["containment"]) == (1, 1, 1.0)
+
+    def test_asymmetry_vs_jaccard(self, spark):
+        # the contained pair's symmetric Jaccard is well below the 0.5
+        # containment it scores — the reason decontamination needs its own
+        # operator instead of reusing ngram_jaccard_pairs
+        train, bench = self._split(spark)
+        both = train.unionByName(bench)
+        jac = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(
+                both, "doc_id", "text", 3, threshold=0.0, stop_shingle_cap=None
+            ).collect()
+        }
+        j = jac.get(("b1", "t1")) or jac.get(("t1", "b1"))
+        assert j is not None and j < 0.5
+
+    def test_bench_side_is_broadcast(self, spark):
+        train, bench = self._split(spark)
+        plan = (
+            dedup.decontamination_pairs(train, bench, "doc_id", "text")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+
+
 class TestSimhash:
     def test_identical_docs_zero_hamming(self, spark, docs_df):
         sigs = dedup.simhash_signatures(docs_df, "doc_id", "text")
