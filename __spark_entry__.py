@@ -471,6 +471,49 @@ def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("train_id", "bench_id")
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixing sample: exact per-source quotas via the
+    portable md5 draw. src3's quota (40) exceeds its 25 rows — the
+    under-quota stratum must return whole, unlisted strata must vanish."""
+    from aumos_drift_detector_spark.operators.sampling import (
+        stratified_quota_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    quotas = {"src0": 10, "src1": 5, "src2": 25, "src3": 40}
+    return (
+        stratified_quota_sample(docs, "source", quotas, "doc_id", salt="v1")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def _q_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-range train/val/test assignment for every document — stable
+    under repartitioning/subsetting because the label is a pure function
+    of (doc_id, salt)."""
+    from aumos_drift_detector_spark.operators.sampling import (
+        deterministic_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        deterministic_split(
+            docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="v1"
+        )
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+def _q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document intra-doc repetition fractions (words + 2-grams)."""
+    from aumos_drift_detector_spark.operators.text import repetition_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_scores(docs, "doc_id", "text", ngram=2).orderBy("doc_id")
+
+
 def _q_hellinger_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5 GROUPED: hellinger per document language — hard-verifies the
     grouped two-sample path (one job, every group) against per-group SQL."""
@@ -927,6 +970,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmd_embeddings": _q_mmd_embeddings,              # T8 (rows-only)
         "minhash_pairs": _q_minhash_pairs,                # dedup LSH (oracle r5)
         "decontamination_pairs": _q_decontamination,      # LLM decontamination (r5)
+        "stratified_sample_documents": _q_stratified_sample,  # data mixing (r5)
+        "deterministic_split_documents": _q_deterministic_split,  # splits (r5)
+        "repetition_scores_documents": _q_repetition_scores,  # quality (r5)
         "cusum_events": _q_cusum_events,                  # W6 (rows-only)
         "forecast_events": _q_forecast_events,            # W8 (rows-only)
         "cbpe_sketch": _q_cbpe_sketch,                    # CBPE distributed step
@@ -1491,6 +1537,9 @@ SELECT 'embedding' AS feature,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
         "minhash_pairs": _minhash_sql(),
         "decontamination_pairs": _DECON_SQL,
+        "stratified_sample_documents": _STRATIFIED_SAMPLE_SQL,
+        "deterministic_split_documents": _deterministic_split_sql(),
+        "repetition_scores_documents": _REPETITION_SQL,
         "simhash_pairs": _SIMHASH_SQL,
         "dle_loss_columns": _DLE_LOSS_COLUMNS_SQL,
         "adwin_events": _adwin_sql(),
@@ -1526,6 +1575,59 @@ FROM (SELECT * FROM sh WHERE NOT is_bench) t,
 WHERE round(len(list_intersect(t.shingles, b.shingles)) * 1.0
             / len(b.shingles), 6) >= 0.5
 ORDER BY train_id, bench_id
+"""
+
+
+# Stratified quota sample: DuckDB replays the portable md5 draw + window
+# rank exactly (identical hex md5 of 'doc_id|salt' in both engines; ties
+# broken by the id string, same as sampling.stratified_quota_sample).
+_STRATIFIED_SAMPLE_SQL = """
+WITH q(source, quota) AS (
+  VALUES ('src0', 10), ('src1', 5), ('src2', 25), ('src3', 40)
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN q ON d.source = q.source
+QUALIFY row_number() OVER (
+  PARTITION BY d.source
+  ORDER BY md5(concat_ws('|', d.doc_id, 'v1')), d.doc_id::VARCHAR
+) <= q.quota
+ORDER BY doc_id
+"""
+
+
+def _deterministic_split_sql() -> str:
+    """Split assignment replay: thresholds come from the SAME helper the
+    operator uses (hex of floor(f * 16^8)), so the oracle can never drift
+    from the engine's keyspace arithmetic."""
+    from aumos_drift_detector_spark.operators.sampling import _hex_threshold
+
+    t_train, t_val = _hex_threshold(0.8), _hex_threshold(0.9)
+    return f"""
+SELECT doc_id,
+       CASE WHEN md5(concat_ws('|', doc_id, 'v1')) < '{t_train}' THEN 'train'
+            WHEN md5(concat_ws('|', doc_id, 'v1')) < '{t_val}' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents ORDER BY doc_id
+"""
+
+
+# Repetition scores: same split/slice semantics as text.repetition_scores
+# (whole-document gram for short docs via greatest(...,1)).
+_REPETITION_SQL = r"""
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents
+),
+g AS (
+  SELECT doc_id, w,
+         [array_to_string(w[i:i+1], ' ')
+          FOR i IN range(1, greatest(len(w)-1, 1)+1)] AS grams
+  FROM docs
+)
+SELECT doc_id,
+       round(1.0 - len(list_distinct(w)) * 1.0 / len(w), 6) AS dup_word_frac,
+       round(1.0 - len(list_distinct(grams)) * 1.0 / len(grams), 6)
+         AS dup_2gram_frac
+FROM g ORDER BY doc_id
 """
 
 

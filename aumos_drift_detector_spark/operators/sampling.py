@@ -1,0 +1,111 @@
+"""Deterministic sampling & split-assignment for training-data pipelines.
+
+Data mixing ("give me exactly N rows of web, M of code") and train/val/test
+assignment must be DETERMINISTIC — reruns, resumes, and audits need the
+same rows back — and engine-portable, so every hash here is md5 over the
+row's id plus a salt (identical hex in Spark, DuckDB, and any other engine)
+rather than an engine-private hash like xxhash64.
+
+Scale notes: `stratified_quota_sample` ranks inside each stratum with a
+window — one shuffle on the strata column; quotas are a tiny broadcast dim.
+Skewed strata are fine (the window sorts within partitions of one
+stratum's rows — for pathological single-stratum inputs prefer a higher
+`spark.sql.shuffle.partitions` or pre-salt upstream). `deterministic_split`
+is a pure column expression (no shuffle at all): rows carry their split
+label from a hex-prefix range over md5, so ANY subset of the data —
+including a single file read in isolation — gets the same assignment, the
+property that makes backfills and distributed writes consistent.
+
+No reference analogue (the reference has no sampling surface); these are
+LLM-pipeline operators in the dedup/text family.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: md5 produces 32 lowercase hex chars; a threshold at fraction f of the
+#: keyspace is the hex literal of floor(f * 16^8) over the FIRST 8 chars —
+#: string comparison on the full digest then matches numeric comparison.
+_HEX_WIDTH = 8
+
+
+def _row_hash(id_col: Column, salt: str) -> Column:
+    """Portable deterministic per-row draw: md5 hex of ``id || '|' || salt``."""
+    return F.md5(F.concat_ws("|", id_col.cast("string"), F.lit(salt)))
+
+
+def _hex_threshold(fraction: float) -> str:
+    """Hex-string threshold t such that P(md5_hex < t) == fraction."""
+    bound = int(fraction * (16 ** _HEX_WIDTH))
+    bound = max(0, min(bound, 16 ** _HEX_WIDTH))
+    return format(bound, f"0{_HEX_WIDTH}x")
+
+
+def stratified_quota_sample(
+    df: DataFrame,
+    strata_col: str,
+    quotas: Mapping[str, int],
+    id_col: str,
+    salt: str = "v1",
+) -> DataFrame:
+    """Exactly ``quotas[stratum]`` rows per stratum, deterministically.
+
+    Rows rank within their stratum by the portable md5 draw (ties broken by
+    the id itself, so duplicate ids still order deterministically) and the
+    first ``quota`` survive. Changing ``salt`` redraws the whole sample;
+    strata absent from ``quotas`` are dropped. A stratum smaller than its
+    quota returns all of its rows (no error — audit counts downstream).
+    """
+    qdf = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(k, int(v)) for k, v in quotas.items()],
+            [strata_col, "_quota"],
+        )
+    )
+    w = Window.partitionBy(strata_col).orderBy(
+        _row_hash(F.col(id_col), salt), F.col(id_col).cast("string")
+    )
+    return (
+        df.join(qdf, strata_col)
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= F.col("_quota"))
+        .drop("_rk", "_quota")
+    )
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: Mapping[str, float],
+    salt: str = "v1",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row a split label from id-hash alone (no shuffle).
+
+    ``fractions`` maps label -> probability mass (must sum to ~1; the last
+    label absorbs rounding). Assignment is a hex-prefix range over the md5
+    draw, so it is stable under repartitioning, subsetting, and reruns —
+    two tables sharing ``id_col`` values get CONSISTENT splits (a labels
+    table and a features table never disagree about which side a row is on).
+    """
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    total = float(sum(fractions.values()))
+    if not (0.999 <= total <= 1.001):
+        raise ValueError(f"fractions must sum to 1 (got {total})")
+    h = _row_hash(F.col(id_col), salt)
+    labels = list(fractions.items())
+    expr: Column | None = None
+    acc = 0.0
+    # CASE WHEN h < t1 THEN l1 WHEN h < t2 THEN l2 ... ELSE l_last
+    for label, frac in labels[:-1]:
+        acc += float(frac)
+        cond = h < F.lit(_hex_threshold(acc))
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    last = labels[-1][0]
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, F.lit(out) if isinstance(out, str) else out)

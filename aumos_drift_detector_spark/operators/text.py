@@ -133,3 +133,46 @@ def document_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFram
         F.xxhash64(F.col(text_col)).alias("xxh64"),
         F.length(F.col(text_col)).alias("n_chars"),
     )
+
+
+def repetition_scores(
+    df: DataFrame, id_col: str, text_col: str, ngram: int = 2
+) -> DataFrame:
+    """Intra-document repetition ratios — the Gopher-family quality signal.
+
+    ``dup_word_frac``  = 1 − |distinct words| / |words|
+    ``dup_{n}gram_frac`` = 1 − |distinct word n-grams| / |word n-grams|
+
+    Repetitive machine-generated or boilerplate text scores high and is a
+    standard pre-training filter dimension, orthogonal to the cross-corpus
+    dedup operators (a document can be unique in the corpus yet internally
+    degenerate). Pure higher-order array expressions — JVM-side,
+    codegen-friendly, no shuffle. Documents shorter than ``ngram`` words
+    contribute one whole-document gram (same convention as
+    dedup.word_shingles); NULL text propagates NULL fractions.
+    """
+    words = F.split(F.col(text_col), r"\s+")
+    k = F.greatest(F.size(words) - F.lit(ngram - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", F.slice(words, i, ngram)),
+    )
+    # greatest() SKIPS nulls, so a NULL text would fabricate one "" gram and
+    # a 0.0 fraction while the word side is NULL — gate both on non-null
+    # text so NULL propagates symmetrically (and matches SQL-engine replay)
+    not_null = F.col(text_col).isNotNull()
+    return df.select(
+        F.col(id_col),
+        F.when(
+            not_null,
+            F.round(
+                F.lit(1.0) - F.size(F.array_distinct(words)) / F.size(words), 6
+            ),
+        ).alias("dup_word_frac"),
+        F.when(
+            not_null,
+            F.round(
+                F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams), 6
+            ),
+        ).alias(f"dup_{ngram}gram_frac"),
+    )

@@ -1,0 +1,119 @@
+"""Tests for deterministic sampling, split assignment, and repetition scores."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aumos_drift_detector_spark.operators.sampling import (
+    deterministic_split,
+    stratified_quota_sample,
+)
+from aumos_drift_detector_spark.operators.text import repetition_scores
+
+
+@pytest.fixture(scope="module")
+def strata_df(spark):
+    rows = [(f"id{i:03d}", f"s{i % 3}") for i in range(90)]
+    return spark.createDataFrame(rows, ["id", "stratum"]).cache()
+
+
+class TestStratifiedQuotaSample:
+    def test_exact_quotas_and_drop_unlisted(self, spark, strata_df):
+        got = stratified_quota_sample(
+            strata_df, "stratum", {"s0": 7, "s1": 30, "s2": 100}, "id"
+        )
+        counts = {r["stratum"]: r["n"] for r in got.groupBy("stratum").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        # s1 quota matches its size exactly; s2's quota exceeds it (all 30
+        # return); a quota dict without a stratum would drop it entirely
+        assert counts == {"s0": 7, "s1": 30, "s2": 30}
+        got2 = stratified_quota_sample(
+            strata_df, "stratum", {"s0": 7}, "id"
+        )
+        assert got2.select("stratum").distinct().collect()[0][0] == "s0"
+
+    def test_deterministic_and_salt_sensitive(self, spark, strata_df):
+        q = {"s0": 5, "s1": 5, "s2": 5}
+        a = {r["id"] for r in stratified_quota_sample(
+            strata_df, "stratum", q, "id").select("id").collect()}
+        b = {r["id"] for r in stratified_quota_sample(
+            strata_df, "stratum", q, "id").select("id").collect()}
+        c = {r["id"] for r in stratified_quota_sample(
+            strata_df, "stratum", q, "id", salt="v2").select("id").collect()}
+        assert a == b
+        assert a != c  # a redraw of 15 of 90 ids collides with ~1e-12 prob
+
+    def test_passthrough_columns_survive(self, spark, strata_df):
+        extra = strata_df.withColumn("payload", F.length("id"))
+        got = stratified_quota_sample(extra, "stratum", {"s0": 3}, "id")
+        assert set(got.columns) == {"id", "stratum", "payload"}
+
+
+class TestDeterministicSplit:
+    def test_fraction_validation(self, spark, strata_df):
+        with pytest.raises(ValueError):
+            deterministic_split(strata_df, "id", {})
+        with pytest.raises(ValueError):
+            deterministic_split(strata_df, "id", {"train": 0.5, "val": 0.2})
+
+    def test_stable_under_repartition_and_subset(self, spark, strata_df):
+        frac = {"train": 0.8, "val": 0.1, "test": 0.1}
+        full = {
+            r["id"]: r["split"]
+            for r in deterministic_split(strata_df, "id", frac).collect()
+        }
+        shuffled = {
+            r["id"]: r["split"]
+            for r in deterministic_split(
+                strata_df.repartition(13), "id", frac
+            ).collect()
+        }
+        assert full == shuffled
+        # a SUBSET frame (even a different table sharing the ids) agrees
+        sub = strata_df.where(F.col("stratum") == "s1").select("id")
+        sub_map = {
+            r["id"]: r["split"]
+            for r in deterministic_split(sub, "id", frac).collect()
+        }
+        assert all(full[k] == v for k, v in sub_map.items())
+
+    def test_proportions_approximate(self, spark):
+        ids = spark.range(4000).select(F.col("id").cast("string").alias("id"))
+        got = deterministic_split(ids, "id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        counts = {r["split"]: r["n"] for r in got.groupBy("split").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        assert abs(counts["train"] / 4000 - 0.8) < 0.03
+        assert abs(counts["val"] / 4000 - 0.1) < 0.03
+        assert abs(counts["test"] / 4000 - 0.1) < 0.03
+
+    def test_single_label_degenerates(self, spark, strata_df):
+        got = deterministic_split(strata_df, "id", {"all": 1.0})
+        assert got.where(F.col("split") != "all").count() == 0
+
+
+class TestRepetitionScores:
+    def test_hand_computed_fractions(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("d1", "a a a a"),          # 1/4 distinct words; 2-grams all "a a"
+                ("d2", "a b c d"),          # no repetition
+                ("d3", "x"),                # short doc: whole-document gram
+                ("d4", "go go stop go go"),
+            ],
+            ["doc_id", "text"],
+        )
+        got = {r["doc_id"]: r for r in repetition_scores(df, "doc_id", "text").collect()}
+        assert got["d1"]["dup_word_frac"] == 0.75
+        assert got["d1"]["dup_2gram_frac"] == round(1 - 1 / 3, 6)
+        assert got["d2"]["dup_word_frac"] == 0.0
+        assert got["d2"]["dup_2gram_frac"] == 0.0
+        assert got["d3"]["dup_word_frac"] == 0.0
+        assert got["d3"]["dup_2gram_frac"] == 0.0
+        # d4: 5 words, 2 distinct -> 0.6; grams [go go, go stop, stop go,
+        # go go] -> 4 total, 3 distinct -> 0.25
+        assert got["d4"]["dup_word_frac"] == 0.6
+        assert got["d4"]["dup_2gram_frac"] == 0.25
+
+    def test_null_text_propagates(self, spark):
+        df = spark.createDataFrame([("d1", None)], "doc_id string, text string")
+        row = repetition_scores(df, "doc_id", "text").collect()[0]
+        assert row["dup_word_frac"] is None and row["dup_2gram_frac"] is None
