@@ -514,6 +514,19 @@ def _q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_scores(docs, "doc_id", "text", ngram=2).orderBy("doc_id")
 
 
+def _q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic next-fit packing of documents into 2048-char training
+    contexts (16 hash buckets). DuckDB replays the whole state machine —
+    bucket assignment, md5 order, the open-pack accumulator — via a
+    recursive CTE in lockstep across buckets (the cusum/adwin pattern)."""
+    from aumos_drift_detector_spark.operators.packing import next_fit_pack
+
+    docs = _t(spark, sf_dir, "documents")
+    return next_fit_pack(
+        docs, "doc_id", "n_chars", budget=2048, n_buckets=16, salt="v1"
+    ).orderBy("doc_id")
+
+
 def _q_hellinger_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5 GROUPED: hellinger per document language — hard-verifies the
     grouped two-sample path (one job, every group) against per-group SQL."""
@@ -973,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_documents": _q_stratified_sample,  # data mixing (r5)
         "deterministic_split_documents": _q_deterministic_split,  # splits (r5)
         "repetition_scores_documents": _q_repetition_scores,  # quality (r5)
+        "sequence_packing_documents": _q_sequence_packing,  # packing (r5)
         "cusum_events": _q_cusum_events,                  # W6 (rows-only)
         "forecast_events": _q_forecast_events,            # W8 (rows-only)
         "cbpe_sketch": _q_cbpe_sketch,                    # CBPE distributed step
@@ -1540,6 +1554,7 @@ SELECT 'embedding' AS feature,
         "stratified_sample_documents": _STRATIFIED_SAMPLE_SQL,
         "deterministic_split_documents": _deterministic_split_sql(),
         "repetition_scores_documents": _REPETITION_SQL,
+        "sequence_packing_documents": _PACKING_SQL,
         "simhash_pairs": _SIMHASH_SQL,
         "dle_loss_columns": _DLE_LOSS_COLUMNS_SQL,
         "adwin_events": _adwin_sql(),
@@ -1628,6 +1643,54 @@ SELECT doc_id,
        round(1.0 - len(list_distinct(grams)) * 1.0 / len(grams), 6)
          AS dup_2gram_frac
 FROM g ORDER BY doc_id
+"""
+
+
+# Sequence packing: exact replay of packing.next_fit_pack. Bucket = first
+# two md5 hex chars mod 16 (strpos arithmetic == Spark conv(...,16,10));
+# within-bucket order = (md5, id); the next-fit accumulator advances one
+# document per recursion level across ALL buckets in lockstep. Oversize
+# docs (> budget) occupy their own pack via the acc > 0 guard, same as the
+# pandas kernel.
+_PACKING_SQL = """
+WITH RECURSIVE
+d AS (
+  SELECT doc_id, n_chars::BIGINT AS sz,
+         md5(concat_ws('|', doc_id, 'v1')) AS h
+  FROM documents WHERE n_chars IS NOT NULL
+),
+db AS (
+  SELECT *,
+         ((strpos('0123456789abcdef', h[1]) - 1) * 16
+          + strpos('0123456789abcdef', h[2]) - 1) % 16 AS bucket
+  FROM d
+),
+idxd AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY bucket
+                            ORDER BY h, doc_id::VARCHAR) AS idx
+  FROM db
+),
+st AS (
+  SELECT bucket, 0::BIGINT AS idx, 0::BIGINT AS acc,
+         0::BIGINT AS pack, (-1)::BIGINT AS pos
+  FROM (SELECT DISTINCT bucket FROM idxd)
+  UNION ALL
+  SELECT s.bucket, i.idx,
+         CASE WHEN s.acc > 0 AND s.acc + i.sz > 2048
+              THEN i.sz ELSE s.acc + i.sz END,
+         CASE WHEN s.acc > 0 AND s.acc + i.sz > 2048
+              THEN s.pack + 1 ELSE s.pack END,
+         CASE WHEN s.acc > 0 AND s.acc + i.sz > 2048
+              THEN 0 ELSE s.pos + 1 END
+  FROM st s JOIN idxd i ON i.bucket = s.bucket AND i.idx = s.idx + 1
+)
+SELECT i.doc_id, i.sz AS size, i.bucket::INTEGER AS bucket,
+       printf('%04d-%06d', i.bucket, s.pack) AS pack_id,
+       s.pos::BIGINT AS pack_pos
+FROM st s JOIN idxd i ON i.bucket = s.bucket AND i.idx = s.idx
+WHERE s.idx >= 1
+ORDER BY doc_id
 """
 
 

@@ -90,6 +90,57 @@ class TestDeterministicSplit:
         assert got.where(F.col("split") != "all").count() == 0
 
 
+class TestSequencePacking:
+    def _packed(self, spark, budget=100, n_buckets=1):
+        from aumos_drift_detector_spark.operators.packing import next_fit_pack
+
+        rows = [(f"d{i}", s) for i, s in enumerate([60, 50, 40, 30, 250, 10, 90])]
+        df = spark.createDataFrame(rows, ["doc_id", "n"])
+        return next_fit_pack(df, "doc_id", "n", budget=budget, n_buckets=n_buckets)
+
+    def test_budget_respected_and_oversize_isolated(self, spark):
+        got = self._packed(spark).toPandas()
+        sums = got.groupby("pack_id")["size"].sum()
+        oversize = got[got["size"] > 100]
+        # the 250-size doc must be ALONE in its pack
+        assert len(oversize) == 1
+        over_pack = oversize["pack_id"].iloc[0]
+        assert (got["pack_id"] == over_pack).sum() == 1
+        # every other pack fits the budget
+        assert (sums.drop(over_pack) <= 100).all()
+        # nothing dropped, positions start at 0 per pack
+        assert len(got) == 7
+        assert (got.groupby("pack_id")["pack_pos"].min() == 0).all()
+
+    def test_next_fit_is_order_deterministic(self, spark):
+        a = self._packed(spark).toPandas().sort_values("doc_id").reset_index(drop=True)
+        b = self._packed(spark).toPandas().sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b)
+
+    def test_multi_bucket_packs_do_not_mix(self, spark):
+        got = self._packed(spark, n_buckets=4).toPandas()
+        # pack_id embeds the bucket: one bucket per pack by construction
+        assert (
+            got["pack_id"].str.slice(0, 4).astype(int) == got["bucket"]
+        ).all()
+
+    def test_null_sizes_excluded_and_utilization(self, spark):
+        from aumos_drift_detector_spark.operators.packing import (
+            next_fit_pack,
+            pack_utilization,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 70), ("b", None), ("c", 40)], "doc_id string, n long"
+        )
+        packed = next_fit_pack(df, "doc_id", "n", budget=100, n_buckets=1)
+        assert packed.count() == 2
+        audit = pack_utilization(packed, 100).collect()[0]
+        assert audit["n_docs"] == 2 and audit["n_oversize_docs"] == 0
+        assert audit["n_packs"] == 2  # 70+40 > 100 -> two packs
+        assert audit["fill_fraction"] == round(110 / 200, 6)
+
+
 class TestRepetitionScores:
     def test_hand_computed_fractions(self, spark):
         df = spark.createDataFrame(
