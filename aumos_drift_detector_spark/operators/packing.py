@@ -73,8 +73,6 @@ def next_fit_pack(
     )
 
     def pack(pdf):
-        import pandas as pd  # noqa: F401  (arrow batch is already pandas)
-
         pdf = pdf.assign(_ids=pdf["doc_id"].astype(str)).sort_values(
             ["_h", "_ids"], kind="mergesort"
         )

@@ -89,6 +89,15 @@ class TestDeterministicSplit:
         got = deterministic_split(strata_df, "id", {"all": 1.0})
         assert got.where(F.col("split") != "all").count() == 0
 
+    def test_split_plan_has_no_shuffle(self, spark, strata_df):
+        # the subset-stability guarantee rests on the label being a pure
+        # column expression — any Exchange here would betray hidden state
+        plan = (
+            deterministic_split(strata_df, "id", {"train": 0.9, "val": 0.1})
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+
 
 class TestSequencePacking:
     def _packed(self, spark, budget=100, n_buckets=1):
