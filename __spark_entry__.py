@@ -514,6 +514,15 @@ def _q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_scores(docs, "doc_id", "text", ngram=2).orderBy("doc_id")
 
 
+def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 words per document language (deterministic lexicographic
+    tie-break) — the vocabulary-stats surface."""
+    from aumos_drift_detector_spark.operators.text import heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    return heavy_hitters(docs, "text", 5, ("lang",)).orderBy("lang", "rank")
+
+
 def _q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic next-fit packing of documents into 2048-char training
     contexts (16 hash buckets). DuckDB replays the whole state machine —
@@ -987,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_split_documents": _q_deterministic_split,  # splits (r5)
         "repetition_scores_documents": _q_repetition_scores,  # quality (r5)
         "sequence_packing_documents": _q_sequence_packing,  # packing (r5)
+        "heavy_hitters_by_lang": _q_heavy_hitters,        # vocab stats (r5)
         "cusum_events": _q_cusum_events,                  # W6 (rows-only)
         "forecast_events": _q_forecast_events,            # W8 (rows-only)
         "cbpe_sketch": _q_cbpe_sketch,                    # CBPE distributed step
@@ -1555,6 +1565,7 @@ SELECT 'embedding' AS feature,
         "deterministic_split_documents": _deterministic_split_sql(),
         "repetition_scores_documents": _REPETITION_SQL,
         "sequence_packing_documents": _PACKING_SQL,
+        "heavy_hitters_by_lang": _HEAVY_HITTERS_SQL,
         "simhash_pairs": _SIMHASH_SQL,
         "dle_loss_columns": _DLE_LOSS_COLUMNS_SQL,
         "adwin_events": _adwin_sql(),
@@ -1643,6 +1654,27 @@ SELECT doc_id,
        round(1.0 - len(list_distinct(grams)) * 1.0 / len(grams), 6)
          AS dup_2gram_frac
 FROM g ORDER BY doc_id
+"""
+
+
+# Heavy hitters: exact top-k replay — unnest the lowercased whitespace
+# split, drop empty tokens (Spark's != '' filter), QUALIFY the same
+# (count DESC, word) deterministic ranking.
+_HEAVY_HITTERS_SQL = r"""
+WITH words AS (
+  SELECT lang, unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+  FROM documents
+),
+counts AS (
+  SELECT lang, word, count(*)::BIGINT AS n
+  FROM words WHERE word <> '' GROUP BY lang, word
+)
+SELECT lang, word, n,
+       row_number() OVER (PARTITION BY lang ORDER BY n DESC, word)::BIGINT
+         AS rank
+FROM counts
+QUALIFY rank <= 5
+ORDER BY lang, rank
 """
 
 

@@ -135,6 +135,46 @@ def document_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFram
     )
 
 
+def heavy_hitters(
+    df: DataFrame,
+    text_col: str,
+    k: int,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exact top-k words (by count) per group — corpus vocabulary statistics.
+
+    The standard pre-tokenizer audit: stopword discovery, boilerplate
+    detection, vocabulary drift between corpus slices. Output:
+    group cols + (word, n, rank), rank 1..k, ties broken lexicographically
+    so the result is fully deterministic.
+
+    Scale plan: explode -> partial-aggregating groupBy (map-side combine
+    collapses each partition's words before the shuffle, so the shuffle
+    carries at most partitions x distinct-words rows, not one row per
+    token) -> per-group window over the AGGREGATED counts (group x
+    distinct-words rows, many orders smaller than the corpus). For
+    corpora where even distinct words per group overwhelm a partition,
+    cap upstream with a frequency filter; no silent truncation here.
+    """
+    from pyspark.sql import Window
+
+    words = df.select(
+        *[F.col(c) for c in group_cols],
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"),
+    ).where(F.col("word") != "")
+    counts = words.groupBy(*group_cols, "word").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+        F.col("n").desc(), F.col("word")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(*group_cols, "word", "n", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def repetition_scores(
     df: DataFrame, id_col: str, text_col: str, ngram: int = 2
 ) -> DataFrame:

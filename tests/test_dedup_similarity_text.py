@@ -270,6 +270,25 @@ class TestSimilarity:
 
 
 class TestTextAnalysis:
+    def test_heavy_hitters_exact_and_tiebreak(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("g1", "b a a b c b"),   # b:3 a:2 c:1
+                ("g1", "a c"),           # totals: a:3 b:3 c:2 -> tie a<b
+                ("g2", "z z Z y"),       # lowercased: z:3 y:1
+            ],
+            ["grp", "text"],
+        )
+        from aumos_drift_detector_spark.operators.text import heavy_hitters
+
+        got = heavy_hitters(df, "text", 2, ("grp",)).collect()
+        ranked = {(r["grp"], r["rank"]): (r["word"], r["n"]) for r in got}
+        assert ranked[("g1", 1)] == ("a", 3)  # count tie with b -> lexicographic
+        assert ranked[("g1", 2)] == ("b", 3)
+        assert ranked[("g2", 1)] == ("z", 3)
+        assert ranked[("g2", 2)] == ("y", 1)
+        assert len(got) == 4
+
     def test_language_id(self, spark, docs_df):
         out = text.detect_language(docs_df, "text").toPandas().set_index("doc_id")
         assert out.loc["d1", "lang_pred"] == "en"
