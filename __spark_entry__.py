@@ -523,6 +523,30 @@ def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(docs, "text", 5, ("lang",)).orderBy("lang", "rank")
 
 
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII count + redaction over documents. The synthetic corpus carries no
+    PII, so each row is augmented with a deterministic doc_id-derived email,
+    IPv4, and phone string (identical arithmetic in the DuckDB oracle) —
+    the regex parity is then exercised with >=3 real matches per row ON TOP
+    of the 500 organic texts, not on an all-zeros frame."""
+    from aumos_drift_detector_spark.operators.pii import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    aug = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.concat(F.lit("user"), sid, F.lit("@example.com")),
+            F.concat(F.lit("10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7")),
+            F.lit("call"),
+            F.concat(F.lit("555-"), F.lpad(sid, 7, "0")),
+        ).alias("text"),
+    )
+    return pii_scrub(aug, "doc_id", "text").orderBy("doc_id")
+
+
 def _q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic next-fit packing of documents into 2048-char training
     contexts (16 hash buckets). DuckDB replays the whole state machine —
@@ -997,6 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores_documents": _q_repetition_scores,  # quality (r5)
         "sequence_packing_documents": _q_sequence_packing,  # packing (r5)
         "heavy_hitters_by_lang": _q_heavy_hitters,        # vocab stats (r5)
+        "pii_scrub_documents": _q_pii_scrub,              # PII redaction (r5)
         "cusum_events": _q_cusum_events,                  # W6 (rows-only)
         "forecast_events": _q_forecast_events,            # W8 (rows-only)
         "cbpe_sketch": _q_cbpe_sketch,                    # CBPE distributed step
@@ -1566,6 +1591,7 @@ SELECT 'embedding' AS feature,
         "repetition_scores_documents": _REPETITION_SQL,
         "sequence_packing_documents": _PACKING_SQL,
         "heavy_hitters_by_lang": _HEAVY_HITTERS_SQL,
+        "pii_scrub_documents": _pii_scrub_sql(),
         "simhash_pairs": _SIMHASH_SQL,
         "dle_loss_columns": _DLE_LOSS_COLUMNS_SQL,
         "adwin_events": _adwin_sql(),
@@ -1577,7 +1603,9 @@ SELECT 'embedding' AS feature,
 # Decontamination: exact brute-force containment over all train x bench
 # pairs at sf0.01 (475 x 25). Shingle construction replays
 # dedup.word_shingles verbatim (regexp split on \s+, inclusive 3-word
-# slices, whole-document shingle for short docs, distinct). Rounding to 6dp
+# slices, whole-document shingle for short docs, distinct). The '' shingle
+# fabricated for NULL/empty text is filtered on both sides (matching the
+# operator's F.filter), so degenerate docs can never pair. Rounding to 6dp
 # happens BEFORE the threshold on both sides so the boundary can't flip.
 _DECON_SQL = r"""
 WITH docs AS (
@@ -1587,8 +1615,10 @@ WITH docs AS (
 ),
 sh AS (
   SELECT doc_id, is_bench,
-         list_distinct([array_to_string(w[i:i+2], ' ')
-                        FOR i IN range(1, greatest(len(w)-2, 1)+1)]) AS shingles
+         list_filter(
+           list_distinct([array_to_string(w[i:i+2], ' ')
+                          FOR i IN range(1, greatest(len(w)-2, 1)+1)]),
+           s -> s <> '') AS shingles
   FROM docs
 )
 SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
@@ -1597,7 +1627,7 @@ SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
        round(len(list_intersect(t.shingles, b.shingles)) * 1.0
              / len(b.shingles), 6) AS containment
 FROM (SELECT * FROM sh WHERE NOT is_bench) t,
-     (SELECT * FROM sh WHERE is_bench) b
+     (SELECT * FROM sh WHERE is_bench AND len(shingles) > 0) b
 WHERE round(len(list_intersect(t.shingles, b.shingles)) * 1.0
             / len(b.shingles), 6) >= 0.5
 ORDER BY train_id, bench_id
@@ -1638,22 +1668,66 @@ FROM documents ORDER BY doc_id
 
 
 # Repetition scores: same split/slice semantics as text.repetition_scores
-# (whole-document gram for short docs via greatest(...,1)).
+# (whole-document gram for short docs via greatest(...,1)). NULL text gets
+# NULL in BOTH fractions — without the CASE gate, greatest() skipping the
+# NULL length fabricates one NULL gram that list_distinct drops, so the
+# 2gram side would read 1.0 while the operator returns NULL.
 _REPETITION_SQL = r"""
 WITH docs AS (
-  SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents
+  SELECT doc_id, text IS NULL AS is_null,
+         regexp_split_to_array(text, '\s+') AS w
+  FROM documents
 ),
 g AS (
-  SELECT doc_id, w,
+  SELECT doc_id, is_null, w,
          [array_to_string(w[i:i+1], ' ')
           FOR i IN range(1, greatest(len(w)-1, 1)+1)] AS grams
   FROM docs
 )
 SELECT doc_id,
-       round(1.0 - len(list_distinct(w)) * 1.0 / len(w), 6) AS dup_word_frac,
-       round(1.0 - len(list_distinct(grams)) * 1.0 / len(grams), 6)
-         AS dup_2gram_frac
+       CASE WHEN NOT is_null THEN
+         round(1.0 - len(list_distinct(w)) * 1.0 / len(w), 6)
+       END AS dup_word_frac,
+       CASE WHEN NOT is_null THEN
+         round(1.0 - len(list_distinct(grams)) * 1.0 / len(grams), 6)
+       END AS dup_2gram_frac
 FROM g ORDER BY doc_id
+"""
+
+
+def _pii_scrub_sql() -> str:
+    """PII replay: the pattern strings come from the SAME PII_PATTERNS tuple
+    the operator compiles (RE2/Java-portable by construction), so oracle and
+    engine can never drift; counts via regexp_extract_all, redaction via
+    nested regexp_replace in the contract's email -> ip -> phone order."""
+    from aumos_drift_detector_spark.operators.pii import PII_PATTERNS
+
+    count_cols = ",\n       ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    total = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))"
+        for _, pat, _ in PII_PATTERNS
+    )
+    scrub = "text"
+    for _, pat, placeholder in PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{placeholder}', 'g')"
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         concat_ws(' ', text,
+                   concat('user', doc_id::VARCHAR, '@example.com'),
+                   concat('10.0.', (doc_id % 256)::VARCHAR, '.7'),
+                   'call',
+                   concat('555-', lpad(doc_id::VARCHAR, 7, '0'))) AS text
+  FROM documents
+)
+SELECT doc_id,
+       {count_cols},
+       ({total})::BIGINT AS n_pii_total,
+       {scrub} AS scrubbed_text
+FROM aug ORDER BY doc_id
 """
 
 
@@ -1679,7 +1753,8 @@ ORDER BY lang, rank
 
 
 # Sequence packing: exact replay of packing.next_fit_pack. Bucket = first
-# two md5 hex chars mod 16 (strpos arithmetic == Spark conv(...,16,10));
+# EIGHT md5 hex chars mod 16 (base-16 strpos polynomial == Spark
+# conv(substring(h,1,8),16,10) — 8 chars so n_buckets >> 256 stays uniform);
 # within-bucket order = (md5, id); the next-fit accumulator advances one
 # document per recursion level across ALL buckets in lockstep. Oversize
 # docs (> budget) occupy their own pack via the acc > 0 guard, same as the
@@ -1693,8 +1768,9 @@ d AS (
 ),
 db AS (
   SELECT *,
-         ((strpos('0123456789abcdef', h[1]) - 1) * 16
-          + strpos('0123456789abcdef', h[2]) - 1) % 16 AS bucket
+         ((list_sum([(strpos('0123456789abcdef', h[i]) - 1)::BIGINT
+                     * (1::BIGINT << (4 * (8 - i)))
+                     FOR i IN range(1, 9)])) % 16)::BIGINT AS bucket
   FROM d
 ),
 idxd AS (

@@ -79,19 +79,31 @@ def dedup_exact(df: DataFrame, id_col: str, content_cols: Sequence[str]) -> Data
     )
 
 
+def word_grams(text: Column, n: int) -> Column:
+    """All inclusive word n-grams (with duplicates) as an array column.
+
+    The ONE definition of gram construction shared by the shingle-based
+    dedup operators and text.repetition_scores (their DuckDB oracles replay
+    these semantics verbatim — a second copy would silently desynchronize).
+    Documents shorter than n words yield one whole-document gram. NULL or
+    empty text degenerates to a single '' gram (greatest() skips the NULL
+    size): callers that must not match on it filter '' explicitly.
+    """
+    words = F.split(text, r"\s+")
+    k = F.size(words) - F.lit(n - 1)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles as an array column (JVM higher-order fns).
 
     Documents shorter than n words yield one whole-document shingle so they
     still participate in hashing.
     """
-    words = F.split(text, r"\s+")
-    k = F.size(words) - F.lit(n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-    )
-    return F.array_distinct(grams)
+    return F.array_distinct(word_grams(text, n))
 
 
 def _permutation_constants(num_hashes: int, seed: int) -> list[tuple[int, int]]:
@@ -337,13 +349,22 @@ def decontamination_pairs(
     Reference analogue: none (the reference has no dedup surface); this
     extends the LLM-pipeline operator family alongside ngram_jaccard_pairs.
     """
+    # NULL or empty text fabricates one '' shingle (word_grams docstring);
+    # without this filter every NULL/empty bench doc "contains" every
+    # NULL/empty train doc at containment 1.0 — scrape failures would read
+    # as contamination. Dropping '' removes such docs from both sides
+    # (explode of the emptied array emits nothing) and keeps bench_total
+    # consistent with the filtered set.
+    clean = F.filter(
+        word_shingles(F.col(text_col), shingle_size), lambda s: s != F.lit("")
+    )
     t_posts = train_df.select(
         F.col(id_col).alias("train_id"),
-        F.explode(word_shingles(F.col(text_col), shingle_size)).alias("shingle"),
+        F.explode(clean).alias("shingle"),
     )
     b_posts = bench_df.select(
         F.col(id_col).alias("bench_id"),
-        word_shingles(F.col(text_col), shingle_size).alias("sh"),
+        clean.alias("sh"),
     ).select(
         "bench_id",
         F.size("sh").cast("long").alias("bench_total"),

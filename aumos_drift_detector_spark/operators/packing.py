@@ -51,10 +51,15 @@ def next_fit_pack(
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
+    if not (1 <= n_buckets <= 16**8):
+        raise ValueError("n_buckets must be in [1, 16^8]")
     h = F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(salt)))
+    # 8 hex chars = 2^32 distinct values, so n_buckets far beyond 256 still
+    # fills every bucket (2 chars would silently cap at 256 non-empty
+    # buckets and skew sizes 4x at n_buckets=1024)
     bucket = (
-        F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % F.lit(n_buckets)
-    )
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(n_buckets)
+    ).cast("int")
     base = df.where(F.col(size_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
         F.col(size_col).cast("long").alias("size"),

@@ -22,7 +22,7 @@ LLM-pipeline operators in the dedup/text family.
 
 from __future__ import annotations
 
-from typing import Mapping, Sequence
+from typing import Mapping
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -39,10 +39,17 @@ def _row_hash(id_col: Column, salt: str) -> Column:
 
 
 def _hex_threshold(fraction: float) -> str:
-    """Hex-string threshold t such that P(md5_hex < t) == fraction."""
+    """Hex-string threshold t such that P(md5_hex < t) == fraction.
+
+    A cumulative fraction >= 1.0 must match EVERY digest: format(16**8)
+    would yield the 9-char '100000000', which sorts BELOW most 32-char
+    digests lexicographically — return 'g' instead (greater than every
+    hex char, so ``md5_hex < 'g'`` is always true).
+    """
     bound = int(fraction * (16 ** _HEX_WIDTH))
-    bound = max(0, min(bound, 16 ** _HEX_WIDTH))
-    return format(bound, f"0{_HEX_WIDTH}x")
+    if bound >= 16 ** _HEX_WIDTH:
+        return "g"
+    return format(max(0, bound), f"0{_HEX_WIDTH}x")
 
 
 def stratified_quota_sample(
@@ -60,6 +67,10 @@ def stratified_quota_sample(
     strata absent from ``quotas`` are dropped. A stratum smaller than its
     quota returns all of its rows (no error — audit counts downstream).
     """
+    if not quotas:
+        # "strata absent from quotas are dropped" — an empty quota map
+        # drops everything (createDataFrame([]) can't infer a schema)
+        return df.where(F.lit(False))
     qdf = F.broadcast(
         df.sparkSession.createDataFrame(
             [(k, int(v)) for k, v in quotas.items()],
@@ -94,6 +105,8 @@ def deterministic_split(
     """
     if not fractions:
         raise ValueError("fractions must be non-empty")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError("fractions must be non-negative")
     total = float(sum(fractions.values()))
     if not (0.999 <= total <= 1.001):
         raise ValueError(f"fractions must sum to 1 (got {total})")

@@ -191,15 +191,14 @@ def repetition_scores(
     contribute one whole-document gram (same convention as
     dedup.word_shingles); NULL text propagates NULL fractions.
     """
+    from aumos_drift_detector_spark.operators.dedup import word_grams
+
     words = F.split(F.col(text_col), r"\s+")
-    k = F.greatest(F.size(words) - F.lit(ngram - 1), F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(1), k),
-        lambda i: F.concat_ws(" ", F.slice(words, i, ngram)),
-    )
-    # greatest() SKIPS nulls, so a NULL text would fabricate one "" gram and
-    # a 0.0 fraction while the word side is NULL — gate both on non-null
-    # text so NULL propagates symmetrically (and matches SQL-engine replay)
+    grams = word_grams(F.col(text_col), ngram)
+    # word_grams fabricates one "" gram for NULL text (greatest() skips the
+    # NULL size) which would yield a 0.0 fraction while the word side is
+    # NULL — gate both on non-null text so NULL propagates symmetrically
+    # (the DuckDB oracle carries the same CASE WHEN text IS NOT NULL gate)
     not_null = F.col(text_col).isNotNull()
     return df.select(
         F.col(id_col),

@@ -162,6 +162,29 @@ class TestDecontamination:
         )
         assert "BroadcastHashJoin" in plan
 
+    def test_null_and_empty_text_never_pair(self, spark):
+        # regression: word_shingles fabricates one '' shingle for NULL or
+        # empty text, so every degenerate bench doc used to "contain" every
+        # degenerate train doc at containment 1.0 — scrape failures read as
+        # contamination
+        schema = "doc_id string, text string"
+        train, bench = self._split(spark)
+        train = train.unionByName(
+            spark.createDataFrame([("t_null", None), ("t_empty", "")], schema)
+        )
+        bench = bench.unionByName(
+            spark.createDataFrame([("b_null", None), ("b_empty", "")], schema)
+        )
+        got = dedup.decontamination_pairs(
+            train, bench, "doc_id", "text", 3, 0.5
+        ).collect()
+        ids = {r["train_id"] for r in got} | {r["bench_id"] for r in got}
+        assert not ids & {"t_null", "t_empty", "b_null", "b_empty"}
+        # the real pairs are unaffected by the degenerate rows
+        assert {(r["train_id"], r["bench_id"]) for r in got} == {
+            ("t1", "b1"), ("t3", "b3"),
+        }
+
 
 class TestSimhash:
     def test_identical_docs_zero_hamming(self, spark, docs_df):
@@ -768,3 +791,76 @@ class TestIvfIndex:
         # and the search result over the pruned frame is still well-formed
         got = loaded.search(q, k=5, n_probe=2).toPandas()
         assert len(got) == 5
+
+
+class TestPiiScrub:
+    def _df(self, spark):
+        from aumos_drift_detector_spark.operators.pii import pii_scrub
+
+        rows = [
+            ("d1", "mail bob@x.co or alice.smith@mail.example.org here"),
+            ("d2", "server 10.0.0.1 and 192.168.1.255 up"),
+            ("d3", "call +1 (555) 123-4567 or 555-9876543 now"),
+            ("d4", "clean text with no pii at all"),
+            ("d5", None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        return rows, pii_scrub(df, "doc_id", "text")
+
+    def test_counts_and_redaction(self, spark):
+        rows, got = self._df(spark)
+        by_id = {r["doc_id"]: r for r in got.collect()}
+        assert (by_id["d1"]["n_email"], by_id["d1"]["n_pii_total"]) == (2, 2)
+        assert by_id["d1"]["scrubbed_text"] == "mail <EMAIL> or <EMAIL> here"
+        assert (by_id["d2"]["n_ip"], by_id["d2"]["n_pii_total"]) == (2, 2)
+        assert by_id["d2"]["scrubbed_text"] == "server <IP> and <IP> up"
+        assert (by_id["d3"]["n_phone"], by_id["d3"]["n_pii_total"]) == (2, 2)
+        assert by_id["d3"]["scrubbed_text"] == "call <PHONE> or <PHONE> now"
+        # zero-PII text passes through byte-identical
+        assert by_id["d4"]["n_pii_total"] == 0
+        assert by_id["d4"]["scrubbed_text"] == rows[3][1]
+        # NULL text propagates NULL counts and NULL scrubbed text
+        assert by_id["d5"]["n_pii_total"] is None
+        assert by_id["d5"]["scrubbed_text"] is None
+
+    def test_idempotent(self, spark):
+        from aumos_drift_detector_spark.operators.pii import pii_scrub
+
+        _, got = self._df(spark)
+        again = pii_scrub(
+            got.select("doc_id", F.col("scrubbed_text").alias("text")),
+            "doc_id",
+            "text",
+        )
+        assert again.where(F.col("n_pii_total") > 0).count() == 0
+
+    def test_no_shuffle_single_projection(self, spark):
+        _, got = self._df(spark)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_oracle_parity_on_fixture(self, spark):
+        # same regex strings under Java regex (Spark) and RE2 (DuckDB):
+        # counts AND redacted text must agree verbatim
+        import duckdb
+
+        from aumos_drift_detector_spark.operators.pii import PII_PATTERNS
+
+        rows, got = self._df(spark)
+        sdf = got.orderBy("doc_id").toPandas()
+        con = duckdb.connect()
+        con.register("docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+        count_cols = ", ".join(
+            f"len(regexp_extract_all(text, '{p}'))::BIGINT AS n_{n}"
+            for n, p, _ in PII_PATTERNS
+        )
+        scrub = "text"
+        for _, p, ph in PII_PATTERNS:
+            scrub = f"regexp_replace({scrub}, '{p}', '{ph}', 'g')"
+        odf = con.execute(
+            f"SELECT doc_id, {count_cols}, {scrub} AS scrubbed_text "
+            "FROM docs ORDER BY doc_id"
+        ).df()
+        for c in ["n_email", "n_ip", "n_phone", "scrubbed_text"]:
+            for a, b in zip(sdf[c].tolist(), odf[c].tolist()):
+                assert (pd.isna(a) and pd.isna(b)) or a == b, (c, a, b)

@@ -47,6 +47,13 @@ class TestStratifiedQuotaSample:
         got = stratified_quota_sample(extra, "stratum", {"s0": 3}, "id")
         assert set(got.columns) == {"id", "stratum", "payload"}
 
+    def test_empty_quotas_returns_empty_frame(self, spark, strata_df):
+        # regression: createDataFrame([]) used to raise
+        # CANNOT_INFER_EMPTY_SCHEMA; empty quota map means "drop everything"
+        got = stratified_quota_sample(strata_df, "stratum", {}, "id")
+        assert got.count() == 0
+        assert got.columns == strata_df.columns
+
 
 class TestDeterministicSplit:
     def test_fraction_validation(self, spark, strata_df):
@@ -54,6 +61,17 @@ class TestDeterministicSplit:
             deterministic_split(strata_df, "id", {})
         with pytest.raises(ValueError):
             deterministic_split(strata_df, "id", {"train": 0.5, "val": 0.2})
+        # sums to 1.0 but a negative mass would walk the cumulative
+        # threshold past the keyspace mid-chain
+        with pytest.raises(ValueError):
+            deterministic_split(strata_df, "id", {"train": 1.2, "val": -0.2})
+
+    def test_full_mass_on_first_label(self, spark, strata_df):
+        # regression: cumulative fraction 1.0 used to format as the 9-char
+        # '100000000', which sorts below ~94% of digests — rows leaked to
+        # the zero-mass label
+        got = deterministic_split(strata_df, "id", {"train": 1.0, "val": 0.0})
+        assert got.where(F.col("split") != "train").count() == 0
 
     def test_stable_under_repartition_and_subset(self, spark, strata_df):
         frac = {"train": 0.8, "val": 0.1, "test": 0.1}
@@ -133,6 +151,21 @@ class TestSequencePacking:
             got["pack_id"].str.slice(0, 4).astype(int) == got["bucket"]
         ).all()
 
+    def test_large_n_buckets_not_capped_at_256(self, spark):
+        from aumos_drift_detector_spark.operators.packing import next_fit_pack
+
+        # regression: bucket from 2 md5 hex chars capped at 256 non-empty
+        # buckets, 4x-skewing sizes at n_buckets=1024 (an executor-OOM risk
+        # for users sizing buckets to fit memory)
+        df = spark.range(4000).select(
+            F.col("id").cast("string").alias("doc_id"), F.lit(10).alias("n")
+        )
+        got = next_fit_pack(df, "doc_id", "n", budget=100, n_buckets=1024)
+        n_distinct = got.select("bucket").distinct().count()
+        assert n_distinct > 256
+        # ~4000 draws over 1024 buckets: expect nearly all buckets hit
+        assert n_distinct > 900
+
     def test_null_sizes_excluded_and_utilization(self, spark):
         from aumos_drift_detector_spark.operators.packing import (
             next_fit_pack,
@@ -177,3 +210,32 @@ class TestRepetitionScores:
         df = spark.createDataFrame([("d1", None)], "doc_id string, text string")
         row = repetition_scores(df, "doc_id", "text").collect()[0]
         assert row["dup_word_frac"] is None and row["dup_2gram_frac"] is None
+
+    def test_oracle_null_branch_matches_operator(self, spark):
+        # the sf0.01 documents table has no NULL texts, so the contract
+        # gate never exercises _REPETITION_SQL's CASE gate — pin the
+        # Spark<->DuckDB agreement on a NULL row here
+        import duckdb
+        import pandas as pd
+
+        import __spark_entry__ as entry
+
+        rows = [("d1", "go go stop"), ("d2", None), ("d3", "x")]
+        sdf = (
+            repetition_scores(
+                spark.createDataFrame(rows, "doc_id string, text string"),
+                "doc_id",
+                "text",
+            )
+            .orderBy("doc_id")
+            .toPandas()
+        )
+        con = duckdb.connect()
+        con.register(
+            "documents", pd.DataFrame(rows, columns=["doc_id", "text"])
+        )
+        odf = con.execute(entry._REPETITION_SQL).df()
+        assert sdf["doc_id"].tolist() == odf["doc_id"].tolist()
+        for c in ("dup_word_frac", "dup_2gram_frac"):
+            for a, b in zip(sdf[c].tolist(), odf[c].tolist()):
+                assert (pd.isna(a) and pd.isna(b)) or a == b
