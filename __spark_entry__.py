@@ -547,6 +547,27 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(aug, "doc_id", "text").orderBy("doc_id")
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance resampling over documents: keep probability
+    is a quality-ish function of n_chars, with lang 'en' pinned to p=1.0
+    (always kept) and 'zh' to p=0.0 (always dropped) so the exact edges are
+    exercised alongside the fractional branch. IEEE double arithmetic is
+    identical in DuckDB, so the kept id set matches exactly."""
+    from aumos_drift_detector_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    p = (
+        F.when(F.col("lang") == "en", F.lit(1.0))
+        .when(F.col("lang") == "zh", F.lit(0.0))
+        .otherwise(F.lit(1.0) / (F.lit(1.0) + F.col("n_chars") / F.lit(300.0)))
+    )
+    return (
+        weighted_sample(docs, "doc_id", p)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 def _q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic next-fit packing of documents into 2048-char training
     contexts (16 hash buckets). DuckDB replays the whole state machine —
@@ -1022,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing_documents": _q_sequence_packing,  # packing (r5)
         "heavy_hitters_by_lang": _q_heavy_hitters,        # vocab stats (r5)
         "pii_scrub_documents": _q_pii_scrub,              # PII redaction (r5)
+        "weighted_sample_documents": _q_weighted_sample,  # importance resampling (r5)
         "cusum_events": _q_cusum_events,                  # W6 (rows-only)
         "forecast_events": _q_forecast_events,            # W8 (rows-only)
         "cbpe_sketch": _q_cbpe_sketch,                    # CBPE distributed step
@@ -1592,6 +1614,7 @@ SELECT 'embedding' AS feature,
         "sequence_packing_documents": _PACKING_SQL,
         "heavy_hitters_by_lang": _HEAVY_HITTERS_SQL,
         "pii_scrub_documents": _pii_scrub_sql(),
+        "weighted_sample_documents": _WEIGHTED_SAMPLE_SQL,
         "simhash_pairs": _SIMHASH_SQL,
         "dle_loss_columns": _DLE_LOSS_COLUMNS_SQL,
         "adwin_events": _adwin_sql(),
@@ -1692,6 +1715,31 @@ SELECT doc_id,
          round(1.0 - len(list_distinct(grams)) * 1.0 / len(grams), 6)
        END AS dup_2gram_frac
 FROM g ORDER BY doc_id
+"""
+
+
+# Weighted sample: numeric replay of sampling.weighted_sample — the first 8
+# md5 hex chars as an integer (same base-16 polynomial as the packing
+# oracle) compared against floor(clamp(p,0,1) * 2^32); p's double
+# arithmetic (1.0 / (1.0 + n_chars/300.0)) is IEEE-identical in DuckDB.
+_WEIGHTED_SAMPLE_SQL = """
+WITH d AS (
+  SELECT doc_id, lang, n_chars,
+         md5(concat_ws('|', doc_id, 'v1')) AS h,
+         CASE WHEN lang = 'en' THEN 1.0::DOUBLE
+              WHEN lang = 'zh' THEN 0.0::DOUBLE
+              ELSE 1.0::DOUBLE / (1.0::DOUBLE + n_chars / 300.0::DOUBLE)
+         END AS p
+  FROM documents
+)
+SELECT doc_id, lang, n_chars
+FROM d
+WHERE (list_sum([(strpos('0123456789abcdef', h[i]) - 1)::BIGINT
+                 * (1::BIGINT << (4 * (8 - i)))
+                 FOR i IN range(1, 9)]))::BIGINT
+      < floor(least(greatest(p, 0.0::DOUBLE), 1.0::DOUBLE)
+              * 4294967296.0::DOUBLE)::BIGINT
+ORDER BY doc_id
 """
 
 

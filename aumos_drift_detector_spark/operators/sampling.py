@@ -88,6 +88,38 @@ def stratified_quota_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    prob_col: Column | str,
+    salt: str = "v1",
+) -> DataFrame:
+    """Keep each row independently with its OWN probability, deterministically.
+
+    The importance-resampling primitive behind quality-weighted data mixing
+    (DoReMi / DSIR-style selection): ``prob_col`` is a per-row keep
+    probability (any double expression — a quality score, a source weight
+    join, a dedup-count discount) and the keep decision is
+    ``draw < floor(clamp(p, 0, 1) * 2^32)`` where ``draw`` is the first 8
+    md5 hex chars of ``id|salt`` as an integer. The comparison is NUMERIC,
+    so p = 0 keeps nothing and p = 1 keeps everything exactly (no
+    hex-string edge cases), and IEEE double arithmetic makes the decision
+    bit-reproducible across engines and reruns.
+
+    Pure column expression — no shuffle, stable under repartitioning and
+    subsetting, consistent across tables sharing ``id_col`` (same contract
+    as deterministic_split).
+    """
+    p = F.col(prob_col) if isinstance(prob_col, str) else prob_col
+    h = _row_hash(F.col(id_col), salt)
+    draw = F.conv(F.substring(h, 1, _HEX_WIDTH), 16, 10).cast("long")
+    bound = F.floor(
+        F.least(F.greatest(p.cast("double"), F.lit(0.0)), F.lit(1.0))
+        * F.lit(float(16 ** _HEX_WIDTH))
+    ).cast("long")
+    return df.where(draw < bound)
+
+
 def deterministic_split(
     df: DataFrame,
     id_col: str,

@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 from aumos_drift_detector_spark.operators.sampling import (
     deterministic_split,
     stratified_quota_sample,
+    weighted_sample,
 )
 from aumos_drift_detector_spark.operators.text import repetition_scores
 
@@ -112,6 +113,54 @@ class TestDeterministicSplit:
         # column expression — any Exchange here would betray hidden state
         plan = (
             deterministic_split(strata_df, "id", {"train": 0.9, "val": 0.1})
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+
+
+class TestWeightedSample:
+    def test_exact_edges_and_clamp(self, spark, strata_df):
+        # p=1 keeps everything (numeric bound 2^32 > any 32-bit draw),
+        # p=0 keeps nothing, out-of-range p clamps rather than misbehaving
+        assert weighted_sample(strata_df, "id", F.lit(1.0)).count() == 90
+        assert weighted_sample(strata_df, "id", F.lit(0.0)).count() == 0
+        assert weighted_sample(strata_df, "id", F.lit(7.5)).count() == 90
+        assert weighted_sample(strata_df, "id", F.lit(-2.0)).count() == 0
+
+    def test_proportion_and_determinism(self, spark):
+        ids = spark.range(4000).select(F.col("id").cast("string").alias("id"))
+        kept = weighted_sample(ids, "id", F.lit(0.25))
+        n = kept.count()
+        assert abs(n / 4000 - 0.25) < 0.03
+        a = {r["id"] for r in kept.collect()}
+        b = {r["id"] for r in weighted_sample(ids, "id", F.lit(0.25)).collect()}
+        assert a == b
+        c = {
+            r["id"]
+            for r in weighted_sample(ids, "id", F.lit(0.25), salt="v2").collect()
+        }
+        assert a != c
+
+    def test_subset_consistency_and_per_row_prob(self, spark):
+        # the keep decision depends only on (id, salt, p-row): a subset
+        # frame agrees with the full frame, and a per-row probability
+        # column drives differential keep rates
+        df = spark.range(2000).select(
+            F.col("id").cast("string").alias("id"),
+            F.when(F.col("id") % 2 == 0, F.lit(0.9)).otherwise(F.lit(0.1)).alias("p"),
+        )
+        kept = weighted_sample(df, "id", "p").toPandas()
+        even = sum(int(i) % 2 == 0 for i in kept["id"])
+        odd = len(kept) - even
+        assert even > 800 and odd < 200
+        sub = df.where(F.col("id").cast("long") < 500)
+        sub_kept = {r["id"] for r in weighted_sample(sub, "id", "p").collect()}
+        full_kept = {i for i in kept["id"] if int(i) < 500}
+        assert sub_kept == full_kept
+
+    def test_no_shuffle(self, spark, strata_df):
+        plan = (
+            weighted_sample(strata_df, "id", F.lit(0.5))
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan
