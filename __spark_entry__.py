@@ -568,6 +568,26 @@ def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composition: exact dedup -> benchmark decontamination ->
+    repetition quality gate -> importance resampling -> 80/10/10 split,
+    audited per split. Every stage is an individually-oracle-verified
+    operator; THIS query proves they compose (same rounding, same hash
+    draws, same boundaries) via one end-to-end DuckDB replay."""
+    from aumos_drift_detector_spark.plans.corpus_pipeline import (
+        corpus_prep_audit,
+        corpus_prep_pipeline,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    keep_p = F.lit(1.0) / (F.lit(1.0) + F.col("n_chars") / F.lit(300.0))
+    labeled = corpus_prep_pipeline(
+        docs, bench, "doc_id", "text", dup_word_max=0.6, keep_prob=keep_p
+    )
+    return corpus_prep_audit(labeled, "n_chars")
+
+
 def _q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic next-fit packing of documents into 2048-char training
     contexts (16 hash buckets). DuckDB replays the whole state machine —
@@ -1044,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_by_lang": _q_heavy_hitters,        # vocab stats (r5)
         "pii_scrub_documents": _q_pii_scrub,              # PII redaction (r5)
         "weighted_sample_documents": _q_weighted_sample,  # importance resampling (r5)
+        "corpus_pipeline_documents": _q_corpus_pipeline,  # end-to-end prep chain (r5)
         "cusum_events": _q_cusum_events,                  # W6 (rows-only)
         "forecast_events": _q_forecast_events,            # W8 (rows-only)
         "cbpe_sketch": _q_cbpe_sketch,                    # CBPE distributed step
@@ -1615,6 +1636,7 @@ SELECT 'embedding' AS feature,
         "heavy_hitters_by_lang": _HEAVY_HITTERS_SQL,
         "pii_scrub_documents": _pii_scrub_sql(),
         "weighted_sample_documents": _WEIGHTED_SAMPLE_SQL,
+        "corpus_pipeline_documents": _corpus_pipeline_sql(),
         "simhash_pairs": _SIMHASH_SQL,
         "dle_loss_columns": _DLE_LOSS_COLUMNS_SQL,
         "adwin_events": _adwin_sql(),
@@ -1715,6 +1737,79 @@ SELECT doc_id,
          round(1.0 - len(list_distinct(grams)) * 1.0 / len(grams), 6)
        END AS dup_2gram_frac
 FROM g ORDER BY doc_id
+"""
+
+
+def _corpus_pipeline_sql() -> str:
+    """End-to-end replay of plans.corpus_pipeline: each CTE is the verified
+    oracle fragment of its stage (dedup keep-first-id window, empty-shingle-
+    filtered containment, rounded dup_word_frac gate, base-16-polynomial
+    weighted draw, hex-threshold split), chained in the pipeline's order.
+    Split thresholds come from sampling._hex_threshold so the keyspace
+    arithmetic can never drift from the engine's."""
+    from aumos_drift_detector_spark.operators.sampling import _hex_threshold
+
+    t_train, t_val = _hex_threshold(0.8), _hex_threshold(0.9)
+    return rf"""
+WITH dedup AS (
+  SELECT * FROM documents
+  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+),
+train AS (
+  SELECT * FROM dedup WHERE doc_id % 20 <> 0
+),
+sh AS (
+  SELECT doc_id, is_bench,
+         list_filter(
+           list_distinct([array_to_string(w[i:i+2], ' ')
+                          FOR i IN range(1, greatest(len(w)-2, 1)+1)]),
+           s -> s <> '') AS shingles
+  FROM (
+    SELECT doc_id, regexp_split_to_array(text, '\s+') AS w, FALSE AS is_bench
+    FROM train
+    UNION ALL
+    SELECT doc_id, regexp_split_to_array(text, '\s+') AS w, TRUE AS is_bench
+    FROM documents WHERE doc_id % 20 = 0
+  )
+),
+contaminated AS (
+  SELECT DISTINCT t.doc_id
+  FROM (SELECT * FROM sh WHERE NOT is_bench) t,
+       (SELECT * FROM sh WHERE is_bench AND len(shingles) > 0) b
+  WHERE round(len(list_intersect(t.shingles, b.shingles)) * 1.0
+              / len(b.shingles), 6) >= 0.5
+),
+quality AS (
+  SELECT tr.* FROM train tr
+  WHERE tr.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    AND round(1.0 - len(list_distinct(regexp_split_to_array(tr.text, '\s+')))
+              * 1.0 / len(regexp_split_to_array(tr.text, '\s+')), 6)
+        <= 0.6
+),
+sampled AS (
+  SELECT * FROM (
+    SELECT *, md5(concat_ws('|', doc_id, 'v1')) AS h FROM quality
+  )
+  WHERE (list_sum([(strpos('0123456789abcdef', h[i]) - 1)::BIGINT
+                     * (1::BIGINT << (4 * (8 - i)))
+                     FOR i IN range(1, 9)]))::BIGINT
+          < floor(least(greatest(
+              1.0::DOUBLE / (1.0::DOUBLE + n_chars / 300.0::DOUBLE),
+              0.0::DOUBLE), 1.0::DOUBLE) * 4294967296.0::DOUBLE)::BIGINT
+),
+labeled AS (
+  -- split draws from md5(id|'v1:split'), NOT the sampling hash h: the
+  -- pipeline decorrelates the two decisions (survivors have small h)
+  SELECT *,
+         CASE WHEN md5(concat_ws('|', doc_id, 'v1:split')) < '{t_train}'
+                THEN 'train'
+              WHEN md5(concat_ws('|', doc_id, 'v1:split')) < '{t_val}'
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM sampled
+)
+SELECT split, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_size
+FROM labeled GROUP BY split ORDER BY split
 """
 
 

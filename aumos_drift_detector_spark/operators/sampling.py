@@ -108,7 +108,10 @@ def weighted_sample(
 
     Pure column expression — no shuffle, stable under repartitioning and
     subsetting, consistent across tables sharing ``id_col`` (same contract
-    as deterministic_split).
+    as deterministic_split). When COMPOSING with deterministic_split (or a
+    second weighted_sample), give each stage a DISTINCT salt: they share
+    the md5(id|salt) draw, so one salt would correlate the decisions
+    (plans.corpus_pipeline does this automatically).
     """
     p = F.col(prob_col) if isinstance(prob_col, str) else prob_col
     h = _row_hash(F.col(id_col), salt)

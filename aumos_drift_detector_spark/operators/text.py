@@ -175,6 +175,17 @@ def heavy_hitters(
     )
 
 
+def dup_word_fraction(text: Column) -> Column:
+    """``1 − |distinct words| / |words|`` rounded to 6dp — the word-level
+    repetition signal, shared by repetition_scores and the corpus-prep
+    pipeline's quality gate (rounding BEFORE any threshold comparison so an
+    oracle replaying the same arithmetic can't flip the boundary)."""
+    words = F.split(text, r"\s+")
+    return F.round(
+        F.lit(1.0) - F.size(F.array_distinct(words)) / F.size(words), 6
+    )
+
+
 def repetition_scores(
     df: DataFrame, id_col: str, text_col: str, ngram: int = 2
 ) -> DataFrame:
@@ -193,7 +204,6 @@ def repetition_scores(
     """
     from aumos_drift_detector_spark.operators.dedup import word_grams
 
-    words = F.split(F.col(text_col), r"\s+")
     grams = word_grams(F.col(text_col), ngram)
     # word_grams fabricates one "" gram for NULL text (greatest() skips the
     # NULL size) which would yield a 0.0 fraction while the word side is
@@ -202,12 +212,9 @@ def repetition_scores(
     not_null = F.col(text_col).isNotNull()
     return df.select(
         F.col(id_col),
-        F.when(
-            not_null,
-            F.round(
-                F.lit(1.0) - F.size(F.array_distinct(words)) / F.size(words), 6
-            ),
-        ).alias("dup_word_frac"),
+        F.when(not_null, dup_word_fraction(F.col(text_col))).alias(
+            "dup_word_frac"
+        ),
         F.when(
             not_null,
             F.round(

@@ -1,0 +1,115 @@
+"""End-to-end corpus-preparation pipeline: the flagship composition.
+
+Chains the LLM-training-data operators into the standard preparation
+sequence a 100-TB corpus actually goes through before tokenization:
+
+    exact dedup -> benchmark decontamination -> quality gate
+        -> importance resampling -> train/val/test split -> audit
+
+Every stage is one of this package's individually-oracle-verified
+operators, and the COMPOSITION itself is replayed end-to-end by a single
+DuckDB oracle in the driver contract (`corpus_pipeline_documents`), so
+the stages are proven to compose — same rounding, same hash draws, same
+boundary conventions — not just to work in isolation.
+
+Scale shape (the part that must survive 1000 executors):
+- dedup: one shuffle on the content fingerprint;
+- decontamination: bench side is broadcast (eval sets are small by
+  construction), ONE streaming scan of train, then a broadcast ANTI join
+  of the contaminated-id set (bounded by the bench pair count) back onto
+  train — train never shuffles on its own id;
+- quality gate + resampling + split: pure column expressions, zero
+  shuffle, fused into the surrounding stages by Catalyst;
+- audit: a 3-row aggregate.
+So the whole pipeline costs dedup's shuffle plus one scan — everything
+else rides along in the same stages.
+
+No reference analogue (the reference validates models, not corpora);
+this composes the operator family of operators/dedup.py, text.py,
+sampling.py.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from aumos_drift_detector_spark.operators.dedup import (
+    dedup_exact,
+    decontamination_pairs,
+)
+from aumos_drift_detector_spark.operators.sampling import (
+    deterministic_split,
+    weighted_sample,
+)
+from aumos_drift_detector_spark.operators.text import dup_word_fraction
+
+
+def corpus_prep_pipeline(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    dup_word_max: float = 0.6,
+    shingle_size: int = 3,
+    contain_threshold: float = 0.5,
+    keep_prob: Column | None = None,
+    fractions: Mapping[str, float] | None = None,
+    salt: str = "v1",
+) -> DataFrame:
+    """Prepared training corpus with a ``split`` label per surviving row.
+
+    ``bench`` rows are held-out evaluation items: they are excluded from
+    the output outright AND any training document containing one (n-gram
+    containment >= ``contain_threshold``) is dropped. ``keep_prob`` is a
+    per-row keep-probability column for importance resampling (default:
+    keep everything). All stages are deterministic in (``id_col``,
+    ``salt``) — reruns and subsets reproduce the same corpus.
+    """
+    fractions = dict(fractions or {"train": 0.8, "val": 0.1, "test": 0.1})
+
+    deduped = dedup_exact(docs, id_col, [text_col])
+    # exclude the bench rows themselves (eval items are not training data)
+    train = deduped.join(
+        F.broadcast(bench.select(F.col(id_col))), id_col, "left_anti"
+    )
+    contaminated = (
+        decontamination_pairs(
+            train, bench, id_col, text_col, shingle_size, contain_threshold
+        )
+        .select(F.col("train_id").alias(id_col))
+        .distinct()
+    )
+    clean = train.join(F.broadcast(contaminated), id_col, "left_anti")
+    quality = clean.where(
+        dup_word_fraction(F.col(text_col)) <= F.lit(dup_word_max)
+    )
+    sampled = (
+        weighted_sample(quality, id_col, keep_prob, salt=salt)
+        if keep_prob is not None
+        else quality
+    )
+    # the split MUST draw independently of the sample: both hash
+    # md5(id|salt), so sharing one salt would condition the split on
+    # sampling survival (survivors have small draws -> nearly everything
+    # would label 'train')
+    return deterministic_split(
+        sampled, id_col, fractions, salt=f"{salt}:split"
+    )
+
+
+def corpus_prep_audit(
+    labeled: DataFrame, size_col: str, split_col: str = "split"
+) -> DataFrame:
+    """Per-split audit frame: ``(split, n_docs, total_size)``."""
+    return (
+        labeled.groupBy(split_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(size_col)).alias("total_size"),
+        )
+        .orderBy(split_col)
+    )

@@ -1,0 +1,107 @@
+"""End-to-end corpus-preparation pipeline composition tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aumos_drift_detector_spark.plans.corpus_pipeline import (
+    corpus_prep_audit,
+    corpus_prep_pipeline,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    bench = spark.createDataFrame(
+        [("b1", "quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    docs_rows = [
+        # contaminated: contains bench b1 verbatim
+        ("d1", "intro text then quick brown fox jumps over the lazy dog closing words"),
+        # exact duplicate pair: only d2 survives dedup
+        ("d2", "a perfectly ordinary training document about spark plans"),
+        ("d3", "a perfectly ordinary training document about spark plans"),
+        # high-repetition: dup_word_frac = 1 - 2/8 = 0.75 > 0.6
+        ("d4", "spam spam spam spam spam spam spam ham"),
+        # clean survivors
+        ("d5", "distributed aggregation with partial map side combine stages"),
+        ("d6", "columnar storage formats enable predicate pushdown and pruning"),
+        # the bench row also appears in the corpus and must be excluded
+        ("b1", "quick brown fox jumps over the lazy dog"),
+    ]
+    docs = spark.createDataFrame(docs_rows, ["doc_id", "text"]).withColumn(
+        "n_chars", F.length("text")
+    )
+    return docs, bench
+
+
+class TestCorpusPrepPipeline:
+    def test_stage_semantics(self, spark, corpus):
+        docs, bench = corpus
+        labeled = corpus_prep_pipeline(docs, bench, "doc_id", "text")
+        ids = {r["doc_id"] for r in labeled.select("doc_id").collect()}
+        # d1 contaminated, b1 is bench, d4 fails quality, d2/d3 dedup to d2
+        assert ids == {"d2", "d5", "d6"}
+        assert "split" in labeled.columns
+
+    def test_deterministic(self, spark, corpus):
+        docs, bench = corpus
+        a = sorted(
+            (r["doc_id"], r["split"])
+            for r in corpus_prep_pipeline(docs, bench, "doc_id", "text").collect()
+        )
+        b = sorted(
+            (r["doc_id"], r["split"])
+            for r in corpus_prep_pipeline(docs, bench, "doc_id", "text").collect()
+        )
+        assert a == b
+
+    def test_audit_totals(self, spark, corpus):
+        docs, bench = corpus
+        labeled = corpus_prep_pipeline(docs, bench, "doc_id", "text")
+        audit = corpus_prep_audit(labeled, "n_chars").collect()
+        assert sum(r["n_docs"] for r in audit) == 3
+        total = {r["doc_id"]: r["n_chars"] for r in docs.collect()}
+        assert sum(r["total_size"] for r in audit) == sum(
+            total[i] for i in ("d2", "d5", "d6")
+        )
+
+    def test_split_decorrelated_from_sampling(self, spark):
+        # both stages hash md5(id|salt); with a SHARED salt the split would
+        # be conditioned on sampling survival (survivors have small draws
+        # -> everything lands 'train'). The pipeline salts the split
+        # independently, so val/test stay populated after a 50% sample.
+        docs = spark.range(2000).select(
+            F.col("id").cast("string").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.lit("unique token"),
+                F.col("id").cast("string"),
+                F.lit("filler words one two three four five six"),
+            ).alias("text"),
+        ).withColumn("n_chars", F.length("text"))
+        bench = docs.where(F.lit(False))
+        labeled = corpus_prep_pipeline(
+            docs, bench, "doc_id", "text", keep_prob=F.lit(0.5)
+        )
+        counts = {
+            r["split"]: r["n"]
+            for r in labeled.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n = sum(counts.values())
+        assert abs(n / 2000 - 0.5) < 0.05
+        assert abs(counts["train"] / n - 0.8) < 0.05
+        assert abs(counts.get("val", 0) / n - 0.1) < 0.04
+        assert abs(counts.get("test", 0) / n - 0.1) < 0.04
+
+    def test_anti_joins_are_broadcast(self, spark, corpus):
+        docs, bench = corpus
+        plan = (
+            corpus_prep_pipeline(docs, bench, "doc_id", "text")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # bench exclusion + contaminated-id exclusion: train must never
+        # shuffle on its own id for either anti join
+        assert plan.count("BroadcastHashJoin") >= 2
