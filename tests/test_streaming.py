@@ -266,3 +266,55 @@ class TestStreamingWindowedDrift:
         # would spuriously drift)
         assert final["n_window"] == 400
         assert not final["is_drifted"]
+
+
+class TestStreamingDedup:
+    def test_first_arrival_wins_and_state_bounded(self, spark, tmp_path):
+        from aumos_drift_detector_spark.streaming.dedup_stream import (
+            streaming_dedup_exact,
+        )
+
+        # two micro-batches; 'dup text' appears in both (and twice in the
+        # first) — only its first arrival may survive
+        rows1 = [
+            ("a1", "dup text", "2024-01-01 10:00:00"),
+            ("a2", "dup text", "2024-01-01 10:00:05"),
+            ("a3", "unique one", "2024-01-01 10:00:10"),
+        ]
+        rows2 = [
+            ("b1", "dup text", "2024-01-01 10:01:00"),
+            ("b2", "unique two", "2024-01-01 10:01:05"),
+        ]
+        src = str(tmp_path / "src")
+        import os
+
+        os.makedirs(src, exist_ok=True)
+        schema = "doc_id string, text string, ts_s string"
+        for chunk in (rows1, rows2):
+            spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .withColumn("ts", F.col("ts_s").cast("timestamp"))
+        )
+        out = streaming_dedup_exact(stream, ["text"], "ts", "10 minutes")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("dedup_stream_out")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("select * from dedup_stream_out").toPandas()
+        # one row per distinct content; the duplicate kept is a first
+        # arrival (a1 or a2 within the same micro-batch are both "first";
+        # Spark keeps exactly one of them, never b1)
+        assert len(got) == 3
+        texts = sorted(got["text"].tolist())
+        assert texts == ["dup text", "unique one", "unique two"]
+        assert got[got["text"] == "dup text"]["doc_id"].iloc[0] in {"a1", "a2"}
+        # fingerprint helper column must not leak into the output
+        assert "_content_fp" not in got.columns
