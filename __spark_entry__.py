@@ -1765,8 +1765,11 @@ sh AS (
                           FOR i IN range(1, greatest(len(w)-2, 1)+1)]),
            s -> s <> '') AS shingles
   FROM (
+    -- decon runs on the RAW pre-dedup train side, mirroring the pipeline
+    -- (containment is text-pure: all copies flag together, so the final
+    -- survivor set is identical and the dedup shuffle isn't recomputed)
     SELECT doc_id, regexp_split_to_array(text, '\s+') AS w, FALSE AS is_bench
-    FROM train
+    FROM documents WHERE doc_id % 20 <> 0
     UNION ALL
     SELECT doc_id, regexp_split_to_array(text, '\s+') AS w, TRUE AS is_bench
     FROM documents WHERE doc_id % 20 = 0

@@ -71,18 +71,33 @@ def corpus_prep_pipeline(
     """
     fractions = dict(fractions or {"train": 0.8, "val": 0.1, "test": 0.1})
 
-    deduped = dedup_exact(docs, id_col, [text_col])
-    # exclude the bench rows themselves (eval items are not training data)
-    train = deduped.join(
-        F.broadcast(bench.select(F.col(id_col))), id_col, "left_anti"
-    )
+    # a single-file (or few-file) input serializes the shingle explode on
+    # one core; widen it to the cluster's parallelism. At real corpus scale
+    # the scan already has far more partitions than cores and this branch
+    # never fires — no shuffle is added to the 100-TB path.
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
+
+    bench_ids = F.broadcast(bench.select(F.col(id_col)))
+    # Decontamination runs on the RAW (pre-dedup) train side: containment
+    # is a pure function of text, so every copy of a contaminated document
+    # is flagged together and the later anti join removes exactly the same
+    # survivors — while the contaminated-id branch no longer recomputes the
+    # dedup window shuffle (Catalyst cannot reuse it across the two
+    # branches: their pruned scan schemas differ, so the exchanges don't
+    # canonicalize equal). One full-corpus shuffle total, not two.
+    raw_train = docs.join(bench_ids, id_col, "left_anti")
     contaminated = (
         decontamination_pairs(
-            train, bench, id_col, text_col, shingle_size, contain_threshold
+            raw_train, bench, id_col, text_col, shingle_size, contain_threshold
         )
         .select(F.col("train_id").alias(id_col))
         .distinct()
     )
+    deduped = dedup_exact(docs, id_col, [text_col])
+    # exclude the bench rows themselves (eval items are not training data)
+    train = deduped.join(bench_ids, id_col, "left_anti")
     clean = train.join(F.broadcast(contaminated), id_col, "left_anti")
     quality = clean.where(
         dup_word_fraction(F.col(text_col)) <= F.lit(dup_word_max)

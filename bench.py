@@ -45,6 +45,9 @@ HEADLINE_QUERIES = [
     "window_latest_orders",
     "ann_cosine_topk",
     "adwin_events",
+    # r5: the corpus-prep composition (dedup -> decontaminate -> quality
+    # gate -> resample -> split -> audit) as one timed plan
+    "corpus_pipeline_documents",
 ]
 
 
