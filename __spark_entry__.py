@@ -568,6 +568,22 @@ def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing (downsample-only) toward a 3:1:1:0:2:1
+    target over six sources. Weights are dyadic (x/8) so the normalized
+    probabilities are EXACT doubles in both engines; DuckDB replays the
+    count/min-scale/acceptance arithmetic and the md5 keep draw."""
+    from aumos_drift_detector_spark.operators.sampling import mixture_rebalance
+
+    docs = _t(spark, sf_dir, "documents")
+    target = {"src0": 3, "src1": 1, "src2": 1, "src3": 0, "src4": 2, "src5": 1}
+    return (
+        mixture_rebalance(docs, "source", target, "doc_id")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
 def _q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship composition: exact dedup -> benchmark decontamination ->
     repetition quality gate -> importance resampling -> 80/10/10 split,
@@ -1064,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_by_lang": _q_heavy_hitters,        # vocab stats (r5)
         "pii_scrub_documents": _q_pii_scrub,              # PII redaction (r5)
         "weighted_sample_documents": _q_weighted_sample,  # importance resampling (r5)
+        "mixture_rebalance_documents": _q_mixture_rebalance,  # domain mixing (r5)
         "corpus_pipeline_documents": _q_corpus_pipeline,  # end-to-end prep chain (r5)
         "cusum_events": _q_cusum_events,                  # W6 (rows-only)
         "forecast_events": _q_forecast_events,            # W8 (rows-only)
@@ -1636,6 +1653,7 @@ SELECT 'embedding' AS feature,
         "heavy_hitters_by_lang": _HEAVY_HITTERS_SQL,
         "pii_scrub_documents": _pii_scrub_sql(),
         "weighted_sample_documents": _WEIGHTED_SAMPLE_SQL,
+        "mixture_rebalance_documents": _MIXTURE_REBALANCE_SQL,
         "corpus_pipeline_documents": _corpus_pipeline_sql(),
         "simhash_pairs": _SIMHASH_SQL,
         "dle_loss_columns": _DLE_LOSS_COLUMNS_SQL,
@@ -1831,6 +1849,44 @@ WITH d AS (
   FROM documents
 )
 SELECT doc_id, lang, n_chars
+FROM d
+WHERE (list_sum([(strpos('0123456789abcdef', h[i]) - 1)::BIGINT
+                 * (1::BIGINT << (4 * (8 - i)))
+                 FOR i IN range(1, 9)]))::BIGINT
+      < floor(least(greatest(p, 0.0::DOUBLE), 1.0::DOUBLE)
+              * 4294967296.0::DOUBLE)::BIGINT
+ORDER BY doc_id
+"""
+
+
+# Mixture rebalance: replay of sampling.mixture_rebalance — per-source
+# counts, the min n/w scale over positive weights, acceptance
+# p = round(least(1, c*w/n), 6), then the same md5 keep draw as the
+# weighted-sample oracle. Target weights are dyadic (k/8), so the
+# normalized Python doubles and these SQL literals are the SAME doubles
+# and every division/multiplication is IEEE-identical across engines.
+_MIXTURE_REBALANCE_SQL = """
+WITH w(source, wgt) AS (
+  VALUES ('src0', 0.375::DOUBLE), ('src1', 0.125::DOUBLE),
+         ('src2', 0.125::DOUBLE), ('src3', 0.0::DOUBLE),
+         ('src4', 0.25::DOUBLE),  ('src5', 0.125::DOUBLE)
+),
+n AS (
+  SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source
+),
+j AS (SELECT n.source, n.n, w.wgt FROM n JOIN w USING (source)),
+c AS (SELECT min(n::DOUBLE / wgt) AS c FROM j WHERE wgt > 0),
+p AS (
+  SELECT source,
+         round(least(1.0::DOUBLE, (SELECT c FROM c) * wgt / n::DOUBLE), 6) AS p
+  FROM j
+),
+d AS (
+  SELECT doc_id, dd.source, p.p,
+         md5(concat_ws('|', doc_id, 'v1')) AS h
+  FROM documents dd JOIN p USING (source)
+)
+SELECT doc_id, source
 FROM d
 WHERE (list_sum([(strpos('0123456789abcdef', h[i]) - 1)::BIGINT
                  * (1::BIGINT << (4 * (8 - i)))

@@ -123,6 +123,74 @@ def weighted_sample(
     return df.where(draw < bound)
 
 
+def mixture_rebalance(
+    df: DataFrame,
+    domain_col: str,
+    target: Mapping[str, float],
+    id_col: str,
+    salt: str = "v1",
+) -> DataFrame:
+    """Downsample-only resampling toward a target domain mixture.
+
+    The corpus-mixing primitive ("make the output 40% web / 40% code /
+    20% books" — the knob DoReMi/Pile-style recipes tune): ``target``
+    maps domain value -> desired weight (normalized internally). Each
+    domain gets acceptance probability ``p_d = round(min(1, C·w_d/n_d), 6)``
+    where ``n_d`` is the observed row count and ``C = min_d(n_d/w_d)`` is
+    the largest scale at which no domain needs upsampling, so the expected
+    output hits the target mixture exactly while only ever DROPPING rows.
+    The per-row keep decision is the portable md5 draw of
+    :func:`weighted_sample` — deterministic in (``id_col``, ``salt``),
+    engine-replayable, stable under repartitioning.
+
+    Domains absent from ``target`` (or with weight 0) are dropped
+    outright; zero-weight domains do not cap ``C``. The bottleneck domain
+    (argmin n/w) keeps every row. All probability arithmetic is plain
+    IEEE double division/multiplication rounded at 6 decimals, so an
+    external SQL engine replaying the same counts reproduces the exact
+    row set.
+
+    Scale shape: one map-side-combined count per domain (tiny frame),
+    driver-free broadcast of |domains| probabilities back onto the scan,
+    then a pure column-expression filter — the corpus itself never
+    shuffles. No reference analogue (LLM-pipeline operator family).
+    """
+    if not target:
+        return df.where(F.lit(False))
+    if any(v < 0 for v in target.values()):
+        raise ValueError("target weights must be non-negative")
+    total = float(sum(target.values()))
+    if total <= 0:
+        raise ValueError("target weights must sum to a positive mass")
+    norm = {str(k): float(v) / total for k, v in target.items()}
+    tdf = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(k, w) for k, w in norm.items()], [domain_col, "_w"]
+        )
+    )
+    counts = (
+        df.groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .join(tdf, domain_col)
+    )
+    scale = counts.where(F.col("_w") > 0).agg(
+        F.min(F.col("_n").cast("double") / F.col("_w")).alias("_c")
+    )
+    probs = counts.crossJoin(F.broadcast(scale)).select(
+        domain_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.col("_c") * F.col("_w") / F.col("_n").cast("double"),
+            ),
+            6,
+        ).alias("_p"),
+    )
+    return weighted_sample(
+        df.join(F.broadcast(probs), domain_col), id_col, F.col("_p"), salt
+    ).drop("_p")
+
+
 def deterministic_split(
     df: DataFrame,
     id_col: str,

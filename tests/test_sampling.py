@@ -5,6 +5,7 @@ from pyspark.sql import functions as F
 
 from aumos_drift_detector_spark.operators.sampling import (
     deterministic_split,
+    mixture_rebalance,
     stratified_quota_sample,
     weighted_sample,
 )
@@ -164,6 +165,79 @@ class TestWeightedSample:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan
+
+
+class TestMixtureRebalance:
+    @pytest.fixture(scope="class")
+    def domain_df(self, spark):
+        # skewed domains: web 3000, code 900, books 100
+        rows = [(f"w{i}", "web") for i in range(3000)]
+        rows += [(f"c{i}", "code") for i in range(900)]
+        rows += [(f"b{i}", "books") for i in range(100)]
+        return spark.createDataFrame(rows, ["id", "domain"]).cache()
+
+    def test_bottleneck_domain_keeps_everything(self, spark, domain_df):
+        # equal target weights -> books (smallest n/w) is the bottleneck:
+        # p_books = 1 exactly, every books row survives
+        got = mixture_rebalance(
+            domain_df, "domain", {"web": 1, "code": 1, "books": 1}, "id"
+        )
+        counts = {
+            r["domain"]: r["n"]
+            for r in got.groupBy("domain").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert counts["books"] == 100
+        # expected 100 per domain; md5 draws give binomial noise around it
+        assert abs(counts["web"] - 100) < 40
+        assert abs(counts["code"] - 100) < 40
+
+    def test_target_mixture_reached(self, spark, domain_df):
+        # 2:1:1 over (web, code, books): C = min(3000/0.5, 900/0.25,
+        # 100/0.25) = 400 -> expect 200/100/100
+        got = mixture_rebalance(
+            domain_df, "domain", {"web": 2, "code": 1, "books": 1}, "id"
+        )
+        counts = {
+            r["domain"]: r["n"]
+            for r in got.groupBy("domain").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert counts["books"] == 100  # bottleneck, p=1
+        assert abs(counts["web"] - 200) < 55
+        assert abs(counts["code"] - 100) < 40
+
+    def test_zero_weight_and_unlisted_dropped(self, spark, domain_df):
+        got = mixture_rebalance(
+            domain_df, "domain", {"web": 1, "code": 0}, "id"
+        )
+        doms = {r["domain"] for r in got.select("domain").distinct().collect()}
+        assert doms == {"web"}
+        # zero-weight domain must not cap C: web is its own bottleneck -> p=1
+        assert got.count() == 3000
+
+    def test_deterministic_and_repartition_stable(self, spark, domain_df):
+        t = {"web": 1, "code": 2, "books": 1}
+        a = {r["id"] for r in mixture_rebalance(domain_df, "domain", t, "id").collect()}
+        b = {
+            r["id"]
+            for r in mixture_rebalance(
+                domain_df.repartition(7), "domain", t, "id"
+            ).collect()
+        }
+        assert a == b
+        c = {
+            r["id"]
+            for r in mixture_rebalance(
+                domain_df, "domain", t, "id", salt="v2"
+            ).collect()
+        }
+        assert a != c
+
+    def test_empty_target_and_validation(self, spark, domain_df):
+        assert mixture_rebalance(domain_df, "domain", {}, "id").count() == 0
+        with pytest.raises(ValueError):
+            mixture_rebalance(domain_df, "domain", {"web": -1}, "id")
+        with pytest.raises(ValueError):
+            mixture_rebalance(domain_df, "domain", {"web": 0.0}, "id")
 
 
 class TestSequencePacking:
