@@ -568,6 +568,32 @@ def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental ingest: a synthetic new batch (every
+    even-id document re-submitted verbatim, every odd one made novel) is
+    deduplicated against the full documents corpus. The Bloom probe +
+    verification join are exactly anti-join-on-fingerprint semantics, so
+    DuckDB replays it with NOT IN over md5(text) — no Bloom replay needed."""
+    from aumos_drift_detector_spark.operators.dedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+        .otherwise(
+            F.concat_ws(
+                " ", F.col("text"), F.lit("novel"), F.col("doc_id").cast("string")
+            )
+        )
+        .alias("text"),
+    )
+    return (
+        incremental_dedup(batch, docs, "doc_id", ["text"], n_bits=1 << 18)
+        .select("doc_id", F.length("text").alias("n_chars_out"))
+        .orderBy("doc_id")
+    )
+
+
 def _q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture rebalancing (downsample-only) toward a 3:1:1:0:2:1
     target over six sources. Weights are dyadic (x/8) so the normalized
@@ -1081,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_documents": _q_pii_scrub,              # PII redaction (r5)
         "weighted_sample_documents": _q_weighted_sample,  # importance resampling (r5)
         "mixture_rebalance_documents": _q_mixture_rebalance,  # domain mixing (r5)
+        "incremental_dedup_documents": _q_incremental_dedup,  # bloom ingest (r5)
         "corpus_pipeline_documents": _q_corpus_pipeline,  # end-to-end prep chain (r5)
         "cusum_events": _q_cusum_events,                  # W6 (rows-only)
         "forecast_events": _q_forecast_events,            # W8 (rows-only)
@@ -1654,6 +1681,7 @@ SELECT 'embedding' AS feature,
         "pii_scrub_documents": _pii_scrub_sql(),
         "weighted_sample_documents": _WEIGHTED_SAMPLE_SQL,
         "mixture_rebalance_documents": _MIXTURE_REBALANCE_SQL,
+        "incremental_dedup_documents": _INCREMENTAL_DEDUP_SQL,
         "corpus_pipeline_documents": _corpus_pipeline_sql(),
         "simhash_pairs": _SIMHASH_SQL,
         "dle_loss_columns": _DLE_LOSS_COLUMNS_SQL,
@@ -1855,6 +1883,27 @@ WHERE (list_sum([(strpos('0123456789abcdef', h[i]) - 1)::BIGINT
                  FOR i IN range(1, 9)]))::BIGINT
       < floor(least(greatest(p, 0.0::DOUBLE), 1.0::DOUBLE)
               * 4294967296.0::DOUBLE)::BIGINT
+ORDER BY doc_id
+"""
+
+
+# Incremental dedup: the Bloom prefilter is semantically invisible (false
+# positives are re-admitted by the verification join, misses are provably
+# new), so the oracle is the exact anti-join the operator guarantees:
+# batch rows whose content fingerprint doesn't appear in the corpus.
+# concat_ws('\\x1f', text) over ONE column is the column itself, so
+# md5(text) IS the operator's _content_fp for this query.
+_INCREMENTAL_DEDUP_SQL = """
+WITH batch AS (
+  SELECT doc_id + 100000 AS doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN text
+              ELSE concat_ws(' ', text, 'novel', doc_id::VARCHAR)
+         END AS text
+  FROM documents
+)
+SELECT b.doc_id, length(b.text)::INTEGER AS n_chars_out
+FROM batch b
+WHERE md5(b.text) NOT IN (SELECT md5(text) FROM documents)
 ORDER BY doc_id
 """
 

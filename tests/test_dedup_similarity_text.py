@@ -37,6 +37,103 @@ class TestExactDedup:
         assert ids == {"d1", "d3", "d4", "d5", "d6"}
 
 
+class TestIncrementalDedup:
+    @pytest.fixture(scope="class")
+    def corpus_and_batch(self, spark):
+        corpus = spark.createDataFrame(
+            [(f"c{i}", f"corpus document number {i} with shared words") for i in range(200)],
+            ["doc_id", "text"],
+        ).cache()
+        # batch: 50 dups of corpus docs + 50 novel docs
+        batch = spark.createDataFrame(
+            [(f"n{i}", f"corpus document number {i} with shared words") for i in range(50)]
+            + [(f"n{i}", f"novel batch document {i} never seen before") for i in range(50, 100)],
+            ["doc_id", "text"],
+        ).cache()
+        return corpus, batch
+
+    def test_matches_plain_anti_join(self, spark, corpus_and_batch):
+        corpus, batch = corpus_and_batch
+        got = {
+            r["doc_id"]
+            for r in dedup.incremental_dedup(
+                batch, corpus, "doc_id", ["text"], n_bits=1 << 14
+            ).collect()
+        }
+        fp = F.md5(F.col("text"))
+        want = {
+            r["doc_id"]
+            for r in batch.withColumn("_f", fp)
+            .join(corpus.select(fp.alias("_f")).distinct(), "_f", "left_anti")
+            .collect()
+        }
+        assert got == want == {f"n{i}" for i in range(50, 100)}
+
+    def test_tiny_bloom_false_positives_still_exact(self, spark, corpus_and_batch):
+        # 64-bit bloom over 200 keys: essentially every probe is a false
+        # positive — the verification join must still re-admit all novel rows
+        corpus, batch = corpus_and_batch
+        got = dedup.incremental_dedup(
+            batch, corpus, "doc_id", ["text"], n_bits=64, k=2
+        )
+        assert {r["doc_id"] for r in got.collect()} == {
+            f"n{i}" for i in range(50, 100)
+        }
+
+    def test_prebuilt_bloom_reuse_and_columns(self, spark, corpus_and_batch):
+        corpus, batch = corpus_and_batch
+        bloom = dedup.build_fingerprint_bloom(corpus, ["text"], n_bits=1 << 14)
+        assert bloom.dtype == np.uint8 and bloom.size == (1 << 14) // 8
+        got = dedup.incremental_dedup(
+            batch, corpus, "doc_id", ["text"], n_bits=1 << 14, bloom=bloom
+        )
+        assert got.columns == batch.columns  # helper cols dropped
+        assert got.count() == 50
+        with pytest.raises(ValueError):
+            dedup.incremental_dedup(
+                batch, corpus, "doc_id", ["text"], n_bits=1 << 10, bloom=bloom
+            )
+
+    def test_empty_sides(self, spark, corpus_and_batch):
+        corpus, batch = corpus_and_batch
+        empty = batch.where(F.lit(False))
+        assert (
+            dedup.incremental_dedup(batch, empty, "doc_id", ["text"], n_bits=1 << 10)
+            .count()
+            == 100
+        )
+        assert (
+            dedup.incremental_dedup(empty, corpus, "doc_id", ["text"], n_bits=1 << 10)
+            .count()
+            == 0
+        )
+
+    def test_bloom_prefilter_skips_join_for_misses(self, spark, corpus_and_batch):
+        # the plan property that matters at scale: rows failing the bloom
+        # probe never reach the verification join's shuffle. Verified
+        # behaviorally — a bloom with ONLY corpus bits set admits at most
+        # dups + fp-rate of the novel rows into the candidate set
+        corpus, batch = corpus_and_batch
+        from aumos_drift_detector_spark.operators.dedup import (
+            _bloom_positions,
+            _content_fp,
+            build_fingerprint_bloom,
+        )
+
+        n_bits = 1 << 14
+        bloom = build_fingerprint_bloom(corpus, ["text"], n_bits=n_bits, k=5)
+        probed = batch.withColumn(
+            "_pos", _bloom_positions(_content_fp(["text"]), n_bits, 5)
+        ).toPandas()
+        arr = np.asarray(probed["_pos"].tolist(), dtype=np.int64)
+        hits = ((bloom[arr >> 3] >> (arr & 7).astype(np.uint8)) & 1).all(axis=1)
+        n_candidates = int(hits.sum())
+        # all 50 true dups hit (no false negatives); false positives among
+        # the 50 novel docs stay near the ~0.9%-per-key design rate
+        assert n_candidates >= 50
+        assert n_candidates <= 55
+
+
 class TestMinhash:
     def test_near_dups_found_exact_dup_is_one(self, spark, docs_df):
         pairs = dedup.minhash_dedup(
