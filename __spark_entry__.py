@@ -568,6 +568,57 @@ def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed scoring lexicon for the quality-model contract query: the
+# deterministic half of the classifier (training is seeded but exercises
+# numpy; the DRIVER-GATED artifact is the scoring plan). Feature ids are
+# md5_60 % 2^16 — computed here with hashlib, by Spark with
+# conv(substr(md5,1,15),16,10), and by DuckDB with the strpos digit sum:
+# three independent implementations of the same arithmetic.
+_QUALITY_LEXICON = {
+    "spark": 1.2,
+    "fast": 0.8,
+    "query": 0.5,
+    "vector": 0.3,
+    "slow": -1.1,
+    "dup": -1.5,
+}
+_QUALITY_BIAS = 0.1
+_QUALITY_N_FEATURES = 1 << 16
+
+
+def _quality_weights() -> dict[int, float]:
+    import hashlib
+
+    out: dict[int, float] = {}
+    for w, wt in _QUALITY_LEXICON.items():
+        fid = int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % _QUALITY_N_FEATURES
+        assert fid not in out, f"lexicon hash collision on {w}"
+        out[fid] = wt
+    return out
+
+
+def _q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style quality scoring with a fixed lexicon: sigmoid of the
+    per-document sum of hashed-word weights, as a ZERO-SHUFFLE map-literal
+    expression fused into the scan. DuckDB replays the md5 feature hashing
+    and the sigmoid at round-6."""
+    from aumos_drift_detector_spark.operators.quality_model import (
+        score_quality_model,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = score_quality_model(
+        docs,
+        "text",
+        _quality_weights(),
+        _QUALITY_BIAS,
+        n_features=_QUALITY_N_FEATURES,
+    )
+    return scored.select(
+        "doc_id", F.round("quality_score", 6).alias("quality_score")
+    ).orderBy("doc_id")
+
+
 def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered incremental ingest: a synthetic new batch (every
     even-id document re-submitted verbatim, every odd one made novel) is
@@ -1108,6 +1159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_documents": _q_weighted_sample,  # importance resampling (r5)
         "mixture_rebalance_documents": _q_mixture_rebalance,  # domain mixing (r5)
         "incremental_dedup_documents": _q_incremental_dedup,  # bloom ingest (r5)
+        "quality_model_documents": _q_quality_model,          # fastText-style (r5)
         "corpus_pipeline_documents": _q_corpus_pipeline,  # end-to-end prep chain (r5)
         "cusum_events": _q_cusum_events,                  # W6 (rows-only)
         "forecast_events": _q_forecast_events,            # W8 (rows-only)
@@ -1682,6 +1734,7 @@ SELECT 'embedding' AS feature,
         "weighted_sample_documents": _WEIGHTED_SAMPLE_SQL,
         "mixture_rebalance_documents": _MIXTURE_REBALANCE_SQL,
         "incremental_dedup_documents": _INCREMENTAL_DEDUP_SQL,
+        "quality_model_documents": _quality_model_sql(),
         "corpus_pipeline_documents": _corpus_pipeline_sql(),
         "simhash_pairs": _SIMHASH_SQL,
         "dle_loss_columns": _DLE_LOSS_COLUMNS_SQL,
@@ -1883,6 +1936,44 @@ WHERE (list_sum([(strpos('0123456789abcdef', h[i]) - 1)::BIGINT
                  FOR i IN range(1, 9)]))::BIGINT
       < floor(least(greatest(p, 0.0::DOUBLE), 1.0::DOUBLE)
               * 4294967296.0::DOUBLE)::BIGINT
+ORDER BY doc_id
+"""
+
+
+def _quality_model_sql() -> str:
+    """Quality-model replay: per-word md5_60 feature ids (strpos digit sum,
+    same arithmetic as the weighted-sample draw but 15 chars), a join onto
+    the SAME lexicon VALUES the Spark map literal is built from
+    (_quality_weights, so oracle and engine can never drift), then the
+    sigmoid at round-6. Summation order differs between engines only in
+    >1-lexicon-hit docs — 1-ulp effects far below the 1e-6 rounding edge."""
+    values = ", ".join(
+        f"({fid}, {wt!r}::DOUBLE)" for fid, wt in sorted(_quality_weights().items())
+    )
+    return f"""
+WITH w(feature, weight) AS (VALUES {values}),
+words AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         (list_sum([(strpos('0123456789abcdef', md5(word)[i]) - 1)::BIGINT
+                    * (1::BIGINT << (4 * (15 - i)))
+                    FOR i IN range(1, 16)]))::BIGINT
+         % {_QUALITY_N_FEATURES} AS feature
+  FROM words
+),
+s AS (
+  SELECT f.doc_id, sum(w.weight) AS s
+  FROM feats f JOIN w USING (feature) GROUP BY f.doc_id
+)
+SELECT d.doc_id,
+       round(1.0 / (1.0 + exp(-({_QUALITY_BIAS!r}::DOUBLE
+                               + coalesce(s.s, 0.0)))), 6) AS quality_score
+FROM documents d LEFT JOIN s USING (doc_id)
 ORDER BY doc_id
 """
 
