@@ -568,6 +568,20 @@ def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: exact n-gram-Jaccard pairs (>= 0.5) resolved to
+    connected components by the alternating large-star/small-star
+    algorithm; survivor = component minimum. DuckDB replays the exact
+    Jaccard pair set, then converges min-label propagation with pointer
+    jumping (12 unrolled rounds, covers diameter 2^12)."""
+    from aumos_drift_detector_spark.operators.dedup import ngram_jaccard_pairs
+    from aumos_drift_detector_spark.operators.graph import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5)
+    return dedup_clusters(pairs, "id_a", "id_b").orderBy("doc_id")
+
+
 # Fixed scoring lexicon for the quality-model contract query: the
 # deterministic half of the classifier (training is seeded but exercises
 # numpy; the DRIVER-GATED artifact is the scoring plan). Feature ids are
@@ -1160,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_rebalance_documents": _q_mixture_rebalance,  # domain mixing (r5)
         "incremental_dedup_documents": _q_incremental_dedup,  # bloom ingest (r5)
         "quality_model_documents": _q_quality_model,          # fastText-style (r5)
+        "dedup_clusters_documents": _q_dedup_clusters,        # connected comps (r5)
         "corpus_pipeline_documents": _q_corpus_pipeline,  # end-to-end prep chain (r5)
         "cusum_events": _q_cusum_events,                  # W6 (rows-only)
         "forecast_events": _q_forecast_events,            # W8 (rows-only)
@@ -1735,6 +1750,7 @@ SELECT 'embedding' AS feature,
         "mixture_rebalance_documents": _MIXTURE_REBALANCE_SQL,
         "incremental_dedup_documents": _INCREMENTAL_DEDUP_SQL,
         "quality_model_documents": _quality_model_sql(),
+        "dedup_clusters_documents": _dedup_clusters_sql(),
         "corpus_pipeline_documents": _corpus_pipeline_sql(),
         "simhash_pairs": _SIMHASH_SQL,
         "dle_loss_columns": _DLE_LOSS_COLUMNS_SQL,
@@ -1938,6 +1954,62 @@ WHERE (list_sum([(strpos('0123456789abcdef', h[i]) - 1)::BIGINT
               * 4294967296.0::DOUBLE)::BIGINT
 ORDER BY doc_id
 """
+
+
+def _dedup_clusters_sql(rounds: int = 12) -> str:
+    """Cluster replay: exact-Jaccard pairs (same shingle construction as the
+    decontamination oracle, same integer-ratio threshold as
+    ngram_jaccard_pairs), then min-label propagation WITH POINTER JUMPING —
+    each unrolled round takes the min over neighbors' labels and then jumps
+    through its own label, so ``rounds`` rounds converge for any diameter
+    up to 2^rounds. Labels converge to the component minimum — the same
+    canonical root the alternating star algorithm in operators/graph.py
+    provably reaches."""
+    chain = """
+WITH docs AS MATERIALIZED (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents
+),
+sh AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct([array_to_string(w[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(w)-2, 1)+1)]) AS s
+  FROM docs
+),
+pairs AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) * 1.0
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+),
+edges2 AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+r0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, src AS lab FROM edges2
+)"""
+    prev = "r0"
+    for k in range(1, rounds + 1):
+        chain += f""",
+p{k} AS MATERIALIZED (
+  SELECT n.node, least(n.lab, coalesce(m.minlab, n.lab)) AS lab
+  FROM {prev} n
+  LEFT JOIN (SELECT e.src AS node, min(r.lab) AS minlab
+             FROM edges2 e JOIN {prev} r ON r.node = e.dst
+             GROUP BY e.src) m USING (node)
+),
+r{k} AS MATERIALIZED (
+  SELECT a.node, least(a.lab, b.lab) AS lab
+  FROM p{k} a JOIN p{k} b ON b.node = a.lab
+)"""
+        prev = f"r{k}"
+    chain += f"""
+SELECT node AS doc_id, lab AS cluster_id, node = lab AS is_survivor
+FROM {prev}
+ORDER BY doc_id
+"""
+    return chain
 
 
 def _quality_model_sql() -> str:
