@@ -568,6 +568,35 @@ def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second end-to-end composition, chaining the round-5 model-driven
+    operators: lexicon quality scoring -> score-weighted importance
+    resampling -> domain-mixture rebalance -> 80/10/10 split. One DuckDB
+    replay chains each stage's verified oracle fragment."""
+    from aumos_drift_detector_spark.plans.corpus_pipeline import (
+        corpus_quality_mix_pipeline,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    target = {"src0": 3, "src1": 1, "src2": 1, "src3": 0, "src4": 2, "src5": 1}
+    labeled = corpus_quality_mix_pipeline(
+        docs,
+        "doc_id",
+        "text",
+        "source",
+        _quality_weights(),
+        _QUALITY_BIAS,
+        target,
+        n_features=_QUALITY_N_FEATURES,
+    )
+    return labeled.select(
+        "doc_id",
+        "source",
+        F.round("quality_score", 6).alias("quality_score"),
+        "split",
+    ).orderBy("doc_id")
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: exact n-gram-Jaccard pairs (>= 0.5) resolved to
     connected components by the alternating large-star/small-star
@@ -1175,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_documents": _q_incremental_dedup,  # bloom ingest (r5)
         "quality_model_documents": _q_quality_model,          # fastText-style (r5)
         "dedup_clusters_documents": _q_dedup_clusters,        # connected comps (r5)
+        "corpus_quality_mix_documents": _q_corpus_quality_mix,  # model-mix chain (r5)
         "corpus_pipeline_documents": _q_corpus_pipeline,  # end-to-end prep chain (r5)
         "cusum_events": _q_cusum_events,                  # W6 (rows-only)
         "forecast_events": _q_forecast_events,            # W8 (rows-only)
@@ -1751,6 +1781,7 @@ SELECT 'embedding' AS feature,
         "incremental_dedup_documents": _INCREMENTAL_DEDUP_SQL,
         "quality_model_documents": _quality_model_sql(),
         "dedup_clusters_documents": _dedup_clusters_sql(),
+        "corpus_quality_mix_documents": _corpus_quality_mix_sql(),
         "corpus_pipeline_documents": _corpus_pipeline_sql(),
         "simhash_pairs": _SIMHASH_SQL,
         "dle_loss_columns": _DLE_LOSS_COLUMNS_SQL,
@@ -1953,6 +1984,92 @@ WHERE (list_sum([(strpos('0123456789abcdef', h[i]) - 1)::BIGINT
       < floor(least(greatest(p, 0.0::DOUBLE), 1.0::DOUBLE)
               * 4294967296.0::DOUBLE)::BIGINT
 ORDER BY doc_id
+"""
+
+
+def _corpus_quality_mix_sql() -> str:
+    """Replay of plans.corpus_quality_mix_pipeline: the quality-model
+    fragment (md5 feature hash + sigmoid, round-6) feeds the weighted-draw
+    fragment (salt 'v2'), whose survivors feed the mixture fragment
+    (counts -> min n/w scale -> acceptance, salt 'v2:mix'), then the
+    hex-threshold split (salt 'v2:split'). Weights/targets are the SAME
+    Python objects the Spark query uses."""
+    from aumos_drift_detector_spark.operators.sampling import _hex_threshold
+
+    lex = ", ".join(
+        f"({fid}, {wt!r}::DOUBLE)" for fid, wt in sorted(_quality_weights().items())
+    )
+    t_train, t_val = _hex_threshold(0.8), _hex_threshold(0.9)
+    draw = (
+        "(list_sum([(strpos('0123456789abcdef', {h}[i]) - 1)::BIGINT"
+        " * (1::BIGINT << (4 * (8 - i))) FOR i IN range(1, 9)]))::BIGINT"
+    )
+    bound = (
+        "floor(least(greatest({p}, 0.0::DOUBLE), 1.0::DOUBLE)"
+        " * 4294967296.0::DOUBLE)::BIGINT"
+    )
+    return f"""
+WITH w(feature, weight) AS (VALUES {lex}),
+words AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         (list_sum([(strpos('0123456789abcdef', md5(word)[i]) - 1)::BIGINT
+                    * (1::BIGINT << (4 * (15 - i)))
+                    FOR i IN range(1, 16)]))::BIGINT
+         % {_QUALITY_N_FEATURES} AS feature
+  FROM words
+),
+ws AS (
+  SELECT f.doc_id, sum(w.weight) AS s
+  FROM feats f JOIN w USING (feature) GROUP BY f.doc_id
+),
+scored AS (
+  SELECT d.doc_id, d.source,
+         round(1.0 / (1.0 + exp(-({_QUALITY_BIAS!r}::DOUBLE
+                                  + coalesce(ws.s, 0.0)))), 6) AS q
+  FROM documents d LEFT JOIN ws USING (doc_id)
+),
+samp AS (
+  SELECT * FROM (
+    SELECT *, md5(concat_ws('|', doc_id, 'v2')) AS h FROM scored
+  )
+  WHERE {draw.format(h='h')} < {bound.format(p='q')}
+),
+tgt(source, wgt) AS (
+  VALUES ('src0', 0.375::DOUBLE), ('src1', 0.125::DOUBLE),
+         ('src2', 0.125::DOUBLE), ('src3', 0.0::DOUBLE),
+         ('src4', 0.25::DOUBLE),  ('src5', 0.125::DOUBLE)
+),
+cnt AS (
+  SELECT source, count(*)::BIGINT AS n FROM samp GROUP BY source
+),
+j AS (SELECT cnt.source, cnt.n, tgt.wgt FROM cnt JOIN tgt USING (source)),
+c AS (SELECT min(n::DOUBLE / wgt) AS c FROM j WHERE wgt > 0),
+p AS (
+  SELECT source,
+         round(least(1.0::DOUBLE, (SELECT c FROM c) * wgt / n::DOUBLE), 6) AS p
+  FROM j
+),
+bal AS (
+  SELECT * FROM (
+    SELECT s.doc_id, s.source, s.q, p.p AS pp,
+           md5(concat_ws('|', s.doc_id, 'v2:mix')) AS hm
+    FROM samp s JOIN p USING (source)
+  )
+  WHERE {draw.format(h='hm')} < {bound.format(p='pp')}
+)
+SELECT doc_id, source, q AS quality_score,
+       CASE WHEN md5(concat_ws('|', doc_id, 'v2:split')) < '{t_train}'
+              THEN 'train'
+            WHEN md5(concat_ws('|', doc_id, 'v2:split')) < '{t_val}'
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM bal ORDER BY doc_id
 """
 
 

@@ -42,6 +42,7 @@ from aumos_drift_detector_spark.operators.dedup import (
 )
 from aumos_drift_detector_spark.operators.sampling import (
     deterministic_split,
+    mixture_rebalance,
     weighted_sample,
 )
 from aumos_drift_detector_spark.operators.text import dup_word_fraction
@@ -113,6 +114,56 @@ def corpus_prep_pipeline(
     # would label 'train')
     return deterministic_split(
         sampled, id_col, fractions, salt=f"{salt}:split"
+    )
+
+
+def corpus_quality_mix_pipeline(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    domain_col: str,
+    weights: Mapping[int, float],
+    bias: float,
+    target: Mapping[str, float],
+    *,
+    n_features: int = 1 << 16,
+    fractions: Mapping[str, float] | None = None,
+    salt: str = "v2",
+) -> DataFrame:
+    """Quality-scored, mixture-balanced corpus: the model-driven half of
+    corpus preparation, composing the round-5 operator family:
+
+        quality-model scoring -> score-weighted importance resampling
+            -> domain-mixture rebalance -> train/val/test split
+
+    The model score (rounded at 6 decimals — the engine-portable boundary)
+    IS the keep probability, so higher-quality documents survive
+    proportionally more often (DSIR-style selection); the survivors are
+    then rebalanced toward ``target`` over ``domain_col`` and split. Each
+    stage draws from md5(id|salt) with a DISTINCT salt suffix, so the
+    three decisions are independent.
+
+    Scale shape: scoring is a zero-shuffle map-literal expression, the
+    resample is a pure filter, the rebalance adds one map-side count and a
+    broadcast of |domains| probabilities — the corpus crosses no shuffle
+    at all in this pipeline.
+    """
+    from aumos_drift_detector_spark.operators.quality_model import (
+        score_quality_model,
+    )
+
+    fractions = dict(fractions or {"train": 0.8, "val": 0.1, "test": 0.1})
+    scored = score_quality_model(
+        docs, text_col, weights, bias, n_features=n_features
+    )
+    sampled = weighted_sample(
+        scored, id_col, F.round(F.col("quality_score"), 6), salt=salt
+    )
+    balanced = mixture_rebalance(
+        sampled, domain_col, target, id_col, salt=f"{salt}:mix"
+    )
+    return deterministic_split(
+        balanced, id_col, fractions, salt=f"{salt}:split"
     )
 
 

@@ -105,3 +105,50 @@ class TestCorpusPrepPipeline:
         # bench exclusion + contaminated-id exclusion: train must never
         # shuffle on its own id for either anti join
         assert plan.count("BroadcastHashJoin") >= 2
+
+
+class TestCorpusQualityMixPipeline:
+    @pytest.fixture(scope="class")
+    def mix_corpus(self, spark):
+        import hashlib
+
+        # lexicon: one strongly-good and one strongly-bad word, hashed with
+        # the operator's own md5_60 arithmetic
+        def fid(w):
+            return int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % (1 << 16)
+
+        weights = {fid("excellent"): 4.0, fid("terrible"): -4.0}
+        rows = []
+        for i in range(300):
+            dom = f"s{i % 3}"
+            good = i % 2 == 0
+            word = "excellent" if good else "terrible"
+            rows.append((i, f"{word} document body {i}", dom))
+        docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+        return docs, weights
+
+    def test_quality_drives_survival_and_target_mixture(self, spark, mix_corpus):
+        from aumos_drift_detector_spark.plans.corpus_pipeline import (
+            corpus_quality_mix_pipeline,
+        )
+
+        docs, weights = mix_corpus
+        out = corpus_quality_mix_pipeline(
+            docs, "doc_id", "text", "source",
+            weights, 0.0, {"s0": 1, "s1": 1},
+        ).cache()
+        pdf = out.toPandas()
+        # sigmoid(4) ~ 0.982 keep vs sigmoid(-4) ~ 0.018: survivors are
+        # overwhelmingly the 'excellent' half
+        n_good = int((pdf["doc_id"] % 2 == 0).sum())
+        assert n_good > 0.9 * len(pdf)
+        # s2 absent from target -> dropped; s0/s1 both present
+        assert set(pdf["source"]) == {"s0", "s1"}
+        assert set(pdf["split"]) <= {"train", "val", "test"}
+        assert "quality_score" in pdf.columns
+        # deterministic end to end
+        again = corpus_quality_mix_pipeline(
+            docs, "doc_id", "text", "source",
+            weights, 0.0, {"s0": 1, "s1": 1},
+        ).toPandas()
+        assert sorted(pdf["doc_id"]) == sorted(again["doc_id"])
