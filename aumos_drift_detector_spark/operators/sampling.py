@@ -173,15 +173,20 @@ def mixture_rebalance(
         .agg(F.count(F.lit(1)).alias("_n"))
         .join(tdf, domain_col)
     )
-    scale = counts.where(F.col("_w") > 0).agg(
-        F.min(F.col("_n").cast("double") / F.col("_w")).alias("_c")
-    )
-    probs = counts.crossJoin(F.broadcast(scale)).select(
-        domain_col,
+    # the scale C = min(n/w over positive weights) as a whole-frame window
+    # over the POST-AGGREGATION |domains|-row frame: the corpus-wide count
+    # aggregation is computed ONCE (a cross-joined separate agg would make
+    # Catalyst evaluate it twice — one extra full-corpus scan at 100 TB),
+    # and the single-partition exchange moves |domains| rows, not data
+    scale = F.min(
+        F.when(F.col("_w") > 0, F.col("_n").cast("double") / F.col("_w"))
+    ).over(Window.partitionBy())
+    probs = counts.select(
+        F.col(domain_col),
         F.round(
             F.least(
                 F.lit(1.0),
-                F.col("_c") * F.col("_w") / F.col("_n").cast("double"),
+                scale * F.col("_w") / F.col("_n").cast("double"),
             ),
             6,
         ).alias("_p"),
