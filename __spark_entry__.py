@@ -1809,7 +1809,7 @@ sh AS (
          list_filter(
            list_distinct([array_to_string(w[i:i+2], ' ')
                           FOR i IN range(1, greatest(len(w)-2, 1)+1)]),
-           s -> s <> '') AS shingles
+           s -> trim(s) <> '') AS shingles
   FROM docs
 )
 SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
@@ -1909,7 +1909,7 @@ sh AS (
          list_filter(
            list_distinct([array_to_string(w[i:i+2], ' ')
                           FOR i IN range(1, greatest(len(w)-2, 1)+1)]),
-           s -> s <> '') AS shingles
+           s -> trim(s) <> '') AS shingles
   FROM (
     -- decon runs on the RAW pre-dedup train side, mirroring the pipeline
     -- (containment is text-pure: all copies flag together, so the final
@@ -2029,9 +2029,13 @@ ws AS (
   FROM feats f JOIN w USING (feature) GROUP BY f.doc_id
 ),
 scored AS (
+  -- NULL text scores NULL (as the engine's map path does); the NULL then
+  -- fails the draw comparison below, dropping the row in BOTH engines
   SELECT d.doc_id, d.source,
-         round(1.0 / (1.0 + exp(-({_QUALITY_BIAS!r}::DOUBLE
-                                  + coalesce(ws.s, 0.0)))), 6) AS q
+         CASE WHEN d.text IS NULL THEN NULL
+              ELSE round(1.0 / (1.0 + exp(-({_QUALITY_BIAS!r}::DOUBLE
+                                           + coalesce(ws.s, 0.0)))), 6)
+         END AS q
   FROM documents d LEFT JOIN ws USING (doc_id)
 ),
 samp AS (
@@ -2084,7 +2088,10 @@ def _dedup_clusters_sql(rounds: int = 12) -> str:
     provably reaches."""
     chain = """
 WITH docs AS MATERIALIZED (
-  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents
+  -- coalesce matches Spark word_grams on NULL text: both degenerate to
+  -- the single '' shingle, so NULL/empty docs pair identically
+  SELECT doc_id, regexp_split_to_array(coalesce(text, ''), '\\s+') AS w
+  FROM documents
 ),
 sh AS MATERIALIZED (
   SELECT doc_id,
@@ -2160,8 +2167,10 @@ s AS (
   FROM feats f JOIN w USING (feature) GROUP BY f.doc_id
 )
 SELECT d.doc_id,
-       round(1.0 / (1.0 + exp(-({_QUALITY_BIAS!r}::DOUBLE
-                               + coalesce(s.s, 0.0)))), 6) AS quality_score
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE round(1.0 / (1.0 + exp(-({_QUALITY_BIAS!r}::DOUBLE
+                                         + coalesce(s.s, 0.0)))), 6)
+       END AS quality_score
 FROM documents d LEFT JOIN s USING (doc_id)
 ORDER BY doc_id
 """

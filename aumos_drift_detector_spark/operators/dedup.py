@@ -484,14 +484,18 @@ def decontamination_pairs(
     Reference analogue: none (the reference has no dedup surface); this
     extends the LLM-pipeline operator family alongside ngram_jaccard_pairs.
     """
-    # NULL or empty text fabricates one '' shingle (word_grams docstring);
-    # without this filter every NULL/empty bench doc "contains" every
-    # NULL/empty train doc at containment 1.0 — scrape failures would read
-    # as contamination. Dropping '' removes such docs from both sides
-    # (explode of the emptied array emits nothing) and keeps bench_total
-    # consistent with the filtered set.
+    # NULL or empty text fabricates one '' shingle, and WHITESPACE-ONLY
+    # text fabricates a space-joined-empties shingle like ' ' (word_grams
+    # docstring); without this filter every such bench doc "contains"
+    # every such train doc at containment 1.0 — scrape failures would read
+    # as contamination. Dropping whitespace-only shingles (trim == '')
+    # removes such docs from both sides (explode of the emptied array
+    # emits nothing) and keeps bench_total consistent with the filtered
+    # set. Real shingles always contain non-space characters, so trim
+    # never touches them.
     clean = F.filter(
-        word_shingles(F.col(text_col), shingle_size), lambda s: s != F.lit("")
+        word_shingles(F.col(text_col), shingle_size),
+        lambda s: F.trim(s) != F.lit(""),
     )
     t_posts = train_df.select(
         F.col(id_col).alias("train_id"),

@@ -12,7 +12,9 @@ Determinism contract (same as operators/sampling.py): the bucket and the
 within-bucket order both derive from the portable md5(id|salt) draw, so
 reruns, resumes, and other engines reproduce the exact same packs — the
 driver contract replays this operator end-to-end in DuckDB with a
-recursive-CTE state machine.
+recursive-CTE state machine. The contract assumes UNIQUE ids: rows
+sharing an id share every ordering key, so their relative pack position
+is engine-arbitrary if their sizes differ.
 
 Scale notes: one shuffle on the bucket key; each bucket's rows are packed
 in one Arrow batch by a pandas kernel (genuinely sequential semantics —

@@ -4,6 +4,12 @@ Pre-training corpora are scrubbed of obvious personally-identifiable
 strings before use (the C4 / Dolma / RefinedWeb pipelines all carry a
 regex-based PII pass): emails, IPv4 addresses, and phone-shaped digit
 runs are counted per document and replaced with placeholder tokens.
+Counts are detections on the RAW text, each pattern independently, while
+redaction applies the patterns sequentially — so overlapping matches
+(e.g. a digit run inside an email's local part) can count under two
+patterns yet yield a single placeholder. Counts answer "what did we
+detect", not "how many placeholders were emitted"; the driver oracle
+replays both with the same convention.
 
 The patterns are deliberately engine-portable — ASCII classes, bounded
 quantifiers, no lookaround — so the SAME pattern string runs under

@@ -35,14 +35,14 @@ from pyspark.sql import functions as F
 def hashed_feature(word: Column, n_features: int) -> Column:
     """Portable hashed feature id: ``md5_60(word) % n_features``.
 
-    Same 60-bit md5 arithmetic as ``operators.dedup._base_hash('md5_60')``
-    — bit-identical in any engine with md5, so trained weights keyed by
-    these ids are engine-portable artifacts.
+    Delegates to the ONE md5_60 definition
+    (``operators.dedup._base_hash``) — bit-identical in any engine with
+    md5, so trained weights keyed by these ids are engine-portable
+    artifacts that stay in sync with the rest of the md5_60 family.
     """
-    return (
-        F.conv(F.substring(F.md5(word), 1, 15), 16, 10).cast("long")
-        % F.lit(n_features)
-    )
+    from aumos_drift_detector_spark.operators.dedup import _base_hash
+
+    return _base_hash(word, "md5_60") % F.lit(n_features)
 
 
 def _words(text: Column) -> Column:
@@ -56,6 +56,7 @@ def score_quality_model(
     bias: float = 0.0,
     n_features: int = 1 << 16,
     out_col: str = "quality_score",
+    id_col: str | None = None,
 ) -> DataFrame:
     """Per-document quality score ``sigmoid(bias + Σ_words w[feature(word)])``.
 
@@ -63,39 +64,56 @@ def score_quality_model(
     a map LITERAL, the score is a zero-shuffle per-row expression fused
     into the scan) or a ``(feature long, weight double)`` DataFrame (wide
     hashed models: explode -> broadcast weight join -> one re-aggregation
-    keyed by a row id; only lexicon HITS reach the shuffle). Words absent
-    from the model contribute 0 either way, so both paths agree exactly.
+    keyed by ``id_col``, which is REQUIRED and must be unique per row for
+    that path; only lexicon HITS reach the shuffle). A synthetic
+    monotonically_increasing_id would NOT do here: the frame is evaluated
+    once for the hit aggregation and once for the join-back, and a
+    nondeterministic upstream (shuffle fetch order) could assign the two
+    evaluations different ids, attaching scores to the wrong rows. Words
+    absent from the model contribute 0 either way, so both paths agree
+    exactly.
     """
     words = _words(F.col(text_col))
     if isinstance(weights, DataFrame):
+        if id_col is None:
+            raise ValueError(
+                "score_quality_model with a weights DataFrame needs id_col "
+                "(a unique per-row key to re-attach aggregated scores)"
+            )
         wdf = F.broadcast(
             weights.select(
                 F.col("feature").cast("long"), F.col("weight").cast("double")
             )
         )
-        # unique per-row key: monotonically_increasing_id is partition-stable
-        # but re-derivable only within one plan — keep it internal
-        keyed = df.withColumn("_rid", F.monotonically_increasing_id())
         hits = (
-            keyed.select(
-                "_rid", F.explode(words).alias("_w")
+            df.select(F.col(id_col), F.explode(words).alias("_w"))
+            .select(
+                id_col, hashed_feature(F.col("_w"), n_features).alias("feature")
             )
-            .select("_rid", hashed_feature(F.col("_w"), n_features).alias("feature"))
             .join(wdf, "feature")
-            .groupBy("_rid")
+            .groupBy(id_col)
             .agg(F.sum("weight").alias("_s"))
         )
         return (
-            keyed.join(hits, "_rid", "left")
+            df.join(hits, id_col, "left")
             .withColumn(
                 out_col,
-                F.lit(1.0)
-                / (
+                F.when(
+                    F.col(text_col).isNull(), F.lit(None).cast("double")
+                ).otherwise(
                     F.lit(1.0)
-                    + F.exp(-(F.lit(float(bias)) + F.coalesce(F.col("_s"), F.lit(0.0))))
+                    / (
+                        F.lit(1.0)
+                        + F.exp(
+                            -(
+                                F.lit(float(bias))
+                                + F.coalesce(F.col("_s"), F.lit(0.0))
+                            )
+                        )
+                    )
                 ),
             )
-            .drop("_rid", "_s")
+            .drop("_s")
         )
     if not weights:
         wsum: Column = F.lit(0.0)
@@ -158,6 +176,11 @@ def train_quality_classifier(
         F.col(label_col).cast("double").alias("_y"),
         _words(F.col(text_col)).alias("_ws"),
     )
+    # _rid is consumed by TWO separate actions (labels, triples); pin one
+    # materialized evaluation so a nondeterministic upstream (shuffle fetch
+    # order, unseeded sample) cannot hand the two jobs different ids and
+    # misalign labels with features
+    keyed = keyed.localCheckpoint(eager=True)
     labels_pdf = keyed.select("_rid", "_y").toPandas()
     trips = (
         keyed.select("_rid", F.explode("_ws").alias("_w"))

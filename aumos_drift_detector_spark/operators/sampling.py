@@ -62,8 +62,10 @@ def stratified_quota_sample(
     """Exactly ``quotas[stratum]`` rows per stratum, deterministically.
 
     Rows rank within their stratum by the portable md5 draw (ties broken by
-    the id itself, so duplicate ids still order deterministically) and the
-    first ``quota`` survive. Changing ``salt`` redraws the whole sample;
+    the id itself) and the first ``quota`` survive. Determinism assumes
+    UNIQUE ids: two rows sharing an id also share both sort keys, so which
+    of them crosses a quota boundary is engine-arbitrary — dedup ids
+    upstream if payloads differ. Changing ``salt`` redraws the whole sample;
     strata absent from ``quotas`` are dropped. A stratum smaller than its
     quota returns all of its rows (no error — audit counts downstream).
     """

@@ -46,9 +46,9 @@ def streaming_dedup_exact(
     watermark semantics). State is bounded by
     (distinct fingerprints within horizon) x ~48 bytes.
     """
-    fp = F.md5(
-        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols])
-    )
+    from aumos_drift_detector_spark.operators.dedup import _content_fp
+
+    fp = _content_fp(content_cols)
     return (
         stream_df.withColumn(_FP, fp)
         .withWatermark(ts_col, watermark)

@@ -81,10 +81,12 @@ class TestScore:
         b = {
             r["doc_id"]: round(r["quality_score"], 12)
             for r in score_quality_model(
-                seed_df, "text", wdf, bias, n_features=1 << 12
+                seed_df, "text", wdf, bias, n_features=1 << 12, id_col="doc_id"
             ).collect()
         }
         assert a == b
+        with pytest.raises(ValueError, match="id_col"):
+            score_quality_model(seed_df, "text", wdf, bias)
 
     def test_empty_model_scores_bias(self, spark, seed_df):
         got = score_quality_model(seed_df.limit(3), "text", {}, bias=1.0).collect()
@@ -107,6 +109,8 @@ class TestScore:
         wdf = seed_df.sparkSession.createDataFrame(
             [(k, v) for k, v in weights.items()], ["feature", "weight"]
         )
-        got = score_quality_model(seed_df, "text", wdf, bias, n_features=1 << 12)
+        got = score_quality_model(
+            seed_df, "text", wdf, bias, n_features=1 << 12, id_col="doc_id"
+        )
         assert set(got.columns) == {"doc_id", "text", "label", "quality_score"}
         assert got.count() == seed_df.count()
