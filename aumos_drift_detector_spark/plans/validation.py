@@ -135,11 +135,18 @@ class ValidationSettings:
     # n_tok is bounded by max sequence length. False = independent tests.
     fused_ntok_drift: bool = True
     # token histogram physical plan: True = Arrow flatten+bincount with NO
-    # explode (shuffle moves pre-aggregated counts, not token rows — the
-    # scale path); False = the explode + codegen hash-aggregate plan.
+    # explode (shuffle moves pre-aggregated counts, not token rows);
+    # False (default) = the explode + codegen hash-aggregate plan.
     # Sampling (token_sample_fraction < 1) always uses the explode plan,
     # whose row-sampling semantics it is defined over.
-    token_hist_arrow: bool = True
+    # Default False after an in-pass A/B (r5): isolated, the Arrow stage is
+    # 1.2-1.6x faster, but INSIDE the concurrent pass its Python workers +
+    # Arrow IPC oversubscribe the host against the parallel JVM jobs —
+    # measured walls 26-42s (arrow) vs 11-17s (explode) on identical input,
+    # and the co-running violations job itself degraded 8.6s -> 25.5s. On a
+    # cluster with dedicated Python-worker headroom the Arrow plan may win;
+    # flip per-run via settings (both plans are bitwise-equal, pytest-pinned).
+    token_hist_arrow: bool = False
     # Independent heavy jobs (violation write, fused sketch, token
     # histogram) are submitted concurrently: overlapping them hides each
     # job's serial driver/codegen latency — the Amdahl term that capped
