@@ -136,17 +136,36 @@ class ValidationSettings:
     fused_ntok_drift: bool = True
     # token histogram physical plan: True = Arrow flatten+bincount with NO
     # explode (shuffle moves pre-aggregated counts, not token rows);
-    # False (default) = the explode + codegen hash-aggregate plan.
-    # Sampling (token_sample_fraction < 1) always uses the explode plan,
-    # whose row-sampling semantics it is defined over.
-    # Default False after an in-pass A/B (r5): isolated, the Arrow stage is
-    # 1.2-1.6x faster, but INSIDE the concurrent pass its Python workers +
-    # Arrow IPC oversubscribe the host against the parallel JVM jobs —
-    # measured walls 26-42s (arrow) vs 11-17s (explode) on identical input,
-    # and the co-running violations job itself degraded 8.6s -> 25.5s. On a
-    # cluster with dedicated Python-worker headroom the Arrow plan may win;
-    # flip per-run via settings (both plans are bitwise-equal, pytest-pinned).
-    token_hist_arrow: bool = False
+    # False = the explode + codegen hash-aggregate plan; None (default) =
+    # cost-based auto, see below. Sampling (token_sample_fraction < 1)
+    # always uses the explode plan, whose row-sampling semantics it is
+    # defined over.
+    # WHY auto (r5 in-pass A/Bs at two scales): isolated, the Arrow stage is
+    # 1.2-1.6x faster, but INSIDE the concurrent pass at SMALL inputs its 32
+    # Python workers + Arrow IPC oversubscribe the host against the parallel
+    # JVM jobs — measured walls 26-42s (arrow) vs 11-17s (explode) on
+    # identical 400k-row input, the co-running violations job itself
+    # degrading 8.6s -> 25.5s. At LARGE inputs the single token-histogram
+    # job dominates the pass (alpha ~0.95) and the Arrow plan stops losing
+    # and starts shifting load OUT of the JVM (its co-running JVM jobs
+    # speed up: ntok_sketch 33.2s vs 59.1s at 16M). Gate-clean same-day
+    # local[32] pairs (scripts/scale_points.jsonl): 400k explode 2-3x
+    # faster; 4M rows / 1.8 GB arrow 44.0s vs explode 49.3s; 16M / 7.3 GB
+    # arrow 114.5s vs explode 116.0s (r4's better windows had arrow at
+    # 74-90s). Auto therefore picks Arrow only when the CURRENT frame's
+    # Catalyst-estimated scan size crosses ``token_hist_arrow_min_bytes`` —
+    # the same cost-based-stats mechanism AQE uses for join strategy. Both
+    # plans are bitwise-equal (pytest-pinned): purely a physical choice.
+    token_hist_arrow: bool | None = None
+    # Auto threshold (bytes, Catalyst optimizedPlan().stats().sizeInBytes
+    # of the current frame). Calibrated on the A/Bs above: explode wins
+    # decisively at 0.18 GB, arrow ties-or-wins from 1.8 GB up, so the
+    # gate sits at 1 GiB — below it the explode plan's decisive small-input
+    # win rules; above it arrow never loses and frees JVM cores for the
+    # concurrent jobs. Frames with UNKNOWN stats (Long.MaxValue leaf
+    # default, e.g. in-memory test frames) use explode: the safe plan
+    # needs no Python workers.
+    token_hist_arrow_min_bytes: int = 1 << 30
     # Independent heavy jobs (violation write, fused sketch, token
     # histogram) are submitted concurrently: overlapping them hides each
     # job's serial driver/codegen latency — the Amdahl term that capped
@@ -179,6 +198,10 @@ class ValidationRun:
         self.out_dir = out_dir.rstrip("/")
         self.run_id = run_id or uuid.uuid4().hex[:12]
         self.s = settings
+        # resolved per run() from settings + Catalyst stats; safe default
+        # for callers that drive _run_batch directly
+        self._arrow_hist = False
+        self.token_hist_plan = "explode"
 
     # -- manifest -----------------------------------------------------------
 
@@ -201,6 +224,10 @@ class ValidationRun:
         t0 = time.monotonic()
         s = self.s
         part = s.partition_col
+        # resolve the token-histogram physical plan once per run (auto mode
+        # reads the Catalyst size estimate of the full current frame)
+        self._arrow_hist = self._resolve_token_hist_arrow()
+        self.token_hist_plan = "arrow" if self._arrow_hist else "explode"
 
         raw_parts = [
             r[0]
@@ -268,6 +295,35 @@ class ValidationRun:
         if self.s.max_concurrent_jobs is not None:
             return max(1, int(self.s.max_concurrent_jobs))
         return self.POOL_WORKERS_CONCURRENT
+
+    def _resolve_token_hist_arrow(self) -> bool:
+        """Pick the token-histogram physical plan (see settings docstring).
+
+        ``settings.token_hist_arrow`` pins it; None = cost-based auto on the
+        CURRENT frame's Catalyst size estimate (free — no extra job), the
+        same statistic AQE's join planning reads. Unknown stats (leaf
+        default Long.MaxValue, e.g. in-memory test frames) resolve to the
+        explode plan: it needs no Python workers and wins every measured
+        small-input pass. Resolved once per run and recorded as
+        ``self.token_hist_plan`` so bench output can self-describe.
+        """
+        s = self.s
+        if s.token_sample_fraction < 1.0:
+            return False  # sampling semantics are defined over exploded rows
+        if s.token_hist_arrow is not None:
+            return bool(s.token_hist_arrow)
+        try:
+            size = int(
+                self.current._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+        except Exception:
+            return False
+        if size >= (1 << 62):  # stats unknown, not "huge"
+            return False
+        return size >= s.token_hist_arrow_min_bytes
 
     # -- one commit unit ----------------------------------------------------
 
@@ -433,7 +489,7 @@ class ValidationRun:
                     [(p, i) for i, p in enumerate(batch)], [part, "_pcode"]
                 )
             )
-            if s.token_hist_arrow and s.token_sample_fraction >= 1.0:
+            if self._arrow_hist:
                 # NO-EXPLODE plan (round 4): Arrow batches flatten+bincount
                 # in numpy, so the shuffle moves <= batches x groups x 256
                 # pre-aggregated rows instead of one row per token — this

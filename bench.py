@@ -253,10 +253,16 @@ def run_validation_pass(spark, cur_dir: str, base_dir: str, out_dir: str):
     dim = spark.createDataFrame(
         [("web",), ("books",), ("code",), ("wiki",)], ["source"]
     )
+    # SPARK_GRAFT_TOKEN_HIST pins the histogram physical plan for A/B
+    # diagnostics: "explode" / "arrow" / "auto" (default: auto = the
+    # shipped cost-based default, Catalyst-size-gated)
+    plan_env = os.environ.get("SPARK_GRAFT_TOKEN_HIST", "auto").lower()
+    arrow_flag = {"explode": False, "arrow": True}.get(plan_env)
     settings = ValidationSettings(
         max_null_fraction=0.05,
         token_sample_fraction=1.0,  # full token histogram: the bench measures
         run_token_histogram=True,   # the engine, not a sampling shortcut
+        token_hist_arrow=arrow_flag,
     )
     run = ValidationRun(spark, cur, base, dim, out_dir, settings=settings)
     t0 = time.monotonic()
@@ -264,7 +270,9 @@ def run_validation_pass(spark, cur_dir: str, base_dir: str, out_dir: str):
     wall = time.monotonic() - t0
     n_rows = cur.count()
     n_tokens = cur.agg(F.sum(F.coalesce(F.col("n_tok"), F.lit(0)))).collect()[0][0]
-    return wall, n_rows, int(n_tokens), report, getattr(run, "last_job_walls", {})
+    walls = getattr(run, "last_job_walls", {})
+    walls["_token_hist_plan"] = getattr(run, "token_hist_plan", "?")
+    return wall, n_rows, int(n_tokens), report, walls
 
 
 def bench_queries(spark, repeats: int = 3) -> dict[str, float]:
@@ -328,11 +336,16 @@ def main() -> None:
         wall, n_rows, n_tokens, _, walls = run_validation_pass(
             spark, cur_dir, base_dir, out
         )
+        hist_plan = walls.pop("_token_hist_plan", "?")
         spark.stop()
         print(
             json.dumps(
                 {
                     "cores": cores,
+                    # self-describe the physical token-histogram plan so
+                    # scale_points.jsonl rows from different defaults
+                    # (arrow r4 vs explode r5) stay comparable
+                    "token_hist_plan": hist_plan,
                     "wall_sec": round(wall, 2),
                     "sequences_per_sec": round(n_rows / wall, 1),
                     "tokens_per_sec": round(n_tokens / wall, 1),
@@ -439,6 +452,7 @@ def main() -> None:
         )
         wall = min(wall, w)
     result["validation_wall_sec"] = round(wall, 2)
+    result["token_hist_plan"] = _walls.get("_token_hist_plan", "?")
     result["sequences_per_sec"] = round(n_rows / wall, 1)
     result["tokens_per_sec"] = round(n_tokens / wall, 1)
 

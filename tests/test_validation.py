@@ -417,6 +417,69 @@ class TestTokenHistArrowPlan:
         assert np.allclose(sa, sb, rtol=0, atol=0, equal_nan=True)
 
 
+class TestTokenHistPlanAuto:
+    """Cost-based auto selection of the token-histogram physical plan:
+    Catalyst scan-size estimate gates Arrow vs explode (both bitwise-equal,
+    so this is purely physical)."""
+
+    def _mk(self, spark, tmp_path, cur, base, dim, **kw):
+        from aumos_drift_detector_spark.plans.validation import (
+            ValidationRun,
+            ValidationSettings,
+        )
+
+        return ValidationRun(
+            spark, cur, base, dim, str(tmp_path / "out_auto"),
+            settings=ValidationSettings(**kw),
+        )
+
+    def test_auto_unknown_stats_resolves_to_explode(self, spark, tmp_path):
+        from aumos_drift_detector_spark.sources.synth import generate_token_tables
+
+        cur, base, dim, _ = generate_token_tables(spark, n_rows=500, seed=3)
+        run = self._mk(spark, tmp_path, cur, base, dim)  # defaults: auto
+        # in-memory frames report the Long.MaxValue leaf default -> explode
+        assert run._resolve_token_hist_arrow() is False
+        run.run(resume=False)
+        assert run.token_hist_plan == "explode"
+
+    def test_auto_threshold_gates_parquet_size(self, spark, tmp_path):
+        from aumos_drift_detector_spark.sources.synth import generate_token_tables
+
+        cur, base, dim, _ = generate_token_tables(spark, n_rows=500, seed=3)
+        cur.write.mode("overwrite").parquet(str(tmp_path / "cur_pq"))
+        base.write.mode("overwrite").parquet(str(tmp_path / "base_pq"))
+        cur_pq = spark.read.parquet(str(tmp_path / "cur_pq"))
+        base_pq = spark.read.parquet(str(tmp_path / "base_pq"))
+        # tiny table, default 1 GiB threshold -> explode
+        run = self._mk(spark, tmp_path, cur_pq, base_pq, dim)
+        assert run._resolve_token_hist_arrow() is False
+        # drop the threshold below the file size -> arrow
+        run = self._mk(
+            spark, tmp_path, cur_pq, base_pq, dim,
+            token_hist_arrow_min_bytes=1,
+        )
+        assert run._resolve_token_hist_arrow() is True
+        run.run(resume=False)
+        assert run.token_hist_plan == "arrow"
+
+    def test_pins_and_sampling_override_auto(self, spark, tmp_path):
+        from aumos_drift_detector_spark.sources.synth import generate_token_tables
+
+        cur, base, dim, _ = generate_token_tables(spark, n_rows=500, seed=3)
+        assert self._mk(
+            spark, tmp_path, cur, base, dim, token_hist_arrow=True
+        )._resolve_token_hist_arrow() is True
+        assert self._mk(
+            spark, tmp_path, cur, base, dim, token_hist_arrow=False
+        )._resolve_token_hist_arrow() is False
+        # sampling is defined over exploded rows: it beats even a True pin
+        assert self._mk(
+            spark, tmp_path, cur, base, dim,
+            token_hist_arrow=True, token_sample_fraction=0.5,
+        )._resolve_token_hist_arrow() is False
+
+
 class TestJobConcurrency:
     """The adaptive job pool: sequential == concurrent results, and the
     heap-budget downgrade fires exactly when input bytes exceed it."""
