@@ -1159,6 +1159,31 @@ def _q_multivariate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated 8-word spans: per-doc coverage stats +
+    md5 of the span-masked cleaned text (exact-substring dedup layer,
+    Lee et al. 2022 restated as keyed DataFrame stages — see
+    operators/spans.py). Output columns never expose the span hash, so
+    the DuckDB oracle groups by raw span text and must reach identical
+    counts and identical cleaned-text digests."""
+    from aumos_drift_detector_spark.operators.spans import span_dedup_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return span_dedup_stats(docs, "doc_id", "text", k=8, min_dup_docs=2)
+
+
+def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff trigram LM self-scored over documents (the
+    CCNet-style perplexity quality signal — operators/lm.py). Every
+    score is a ratio of integer counts through a fixed CASE, so DuckDB
+    replays the full train+score pipeline exactly (joins on the same
+    n-gram keys, same backoff order, same 0.5 OOV pseudo-count)."""
+    from aumos_drift_detector_spark.operators.lm import lm_perplexity
+
+    docs = _t(spark, sf_dir, "documents")
+    return lm_perplexity(docs, "doc_id", "text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_customer": _q_profile_customer,          # A1/A6
@@ -1218,6 +1243,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anderson_darling_extendedprice": _q_anderson_darling,  # T7
         "simhash_pairs": _q_simhash_pairs,                # dedup (oracle r5)
         "multivariate_drift": _q_multivariate_drift,      # T9/T10 (rows-only)
+        "span_dedup_documents": _q_span_dedup,            # exact-substring dedup (r5)
+        "lm_perplexity_documents": _q_lm_perplexity,      # n-gram LM quality (r5)
     }
 
 
@@ -1786,6 +1813,8 @@ SELECT 'embedding' AS feature,
         "simhash_pairs": _SIMHASH_SQL,
         "dle_loss_columns": _DLE_LOSS_COLUMNS_SQL,
         "adwin_events": _adwin_sql(),
+        "span_dedup_documents": _span_dedup_sql(),
+        "lm_perplexity_documents": _LM_PERPLEXITY_SQL,
         # cbpe_estimate, dle_loss, multivariate_drift:
         # rows-only (seeded bootstrap / GBT fit / SVD — beyond DuckDB SQL)
     }
@@ -2669,3 +2698,104 @@ def _q_chi2_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# Exact-substring (k-word span) dedup replay: DuckDB shingles every
+# document the same way (lowercased whitespace words, k=8 space-joined
+# slices), finds spans in >= 2 distinct docs by RAW SPAN TEXT (the Spark
+# side groups by xxhash64(span) — matching counts prove the hash layer
+# lossless), unions the covered word positions, and recomputes the
+# cleaned text digest word-for-word. See operators/spans.py.
+def _span_dedup_sql(k: int = 8, min_dup_docs: int = 2) -> str:
+    return f"""
+WITH words AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             w -> w <> '') AS ws
+  FROM documents
+),
+base AS (SELECT * FROM words WHERE len(ws) > 0),
+spans AS (
+  SELECT doc_id, i AS pos, array_to_string(list_slice(ws, i+1, i+{k}), ' ') AS span
+  FROM (SELECT doc_id, ws, unnest(range(len(ws) - {k} + 1)) AS i
+        FROM base WHERE len(ws) >= {k})
+),
+dup AS (
+  SELECT span
+  FROM (SELECT span, count(DISTINCT doc_id) AS nd FROM spans GROUP BY span)
+  WHERE nd >= {min_dup_docs}
+),
+duppos AS (SELECT s.doc_id, s.pos FROM spans s JOIN dup USING (span)),
+covered AS (
+  SELECT DISTINCT doc_id, pos + j AS wpos
+  FROM (SELECT doc_id, pos, unnest(range({k})) AS j FROM duppos)
+),
+wp AS (SELECT doc_id, generate_subscripts(ws, 1) - 1 AS wpos, unnest(ws) AS word
+       FROM base),
+cleaned AS (
+  SELECT w.doc_id,
+         array_to_string(list(w.word ORDER BY w.wpos), ' ') AS cleaned_text,
+         count(*)::BIGINT AS cleaned_n_words
+  FROM wp w ANTI JOIN covered c ON w.doc_id = c.doc_id AND w.wpos = c.wpos
+  GROUP BY w.doc_id
+),
+stats AS (SELECT doc_id, len(ws)::BIGINT AS n_words,
+                 greatest(len(ws) - {k} + 1, 0)::BIGINT AS n_spans
+          FROM base),
+dsc AS (SELECT doc_id, count(*)::BIGINT AS dup_spans FROM duppos GROUP BY doc_id),
+cc AS (SELECT doc_id, count(*)::BIGINT AS covered_words FROM covered GROUP BY doc_id)
+SELECT s.doc_id, s.n_words, s.n_spans,
+       coalesce(d.dup_spans, 0) AS dup_spans,
+       coalesce(c.covered_words, 0) AS covered_words,
+       round(coalesce(c.covered_words, 0) / s.n_words, 6) AS dup_span_frac,
+       coalesce(cl.cleaned_n_words, 0) AS cleaned_n_words,
+       md5(coalesce(cl.cleaned_text, '')) AS cleaned_md5
+FROM stats s
+LEFT JOIN dsc d USING (doc_id)
+LEFT JOIN cc c USING (doc_id)
+LEFT JOIN cleaned cl USING (doc_id)
+"""
+
+
+# Stupid-backoff trigram LM replay: identical context extraction (list
+# indexing, NULL under-run backs off), identical count dims, identical
+# CASE order and float arithmetic ((0.4*b)/u left-assoc, 0.5 OOV
+# pseudo-count over the corpus total). See operators/lm.py.
+_LM_PERPLEXITY_SQL = r"""
+WITH words AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             w -> w <> '') AS ws
+  FROM documents
+),
+ctx AS (
+  SELECT doc_id, w,
+         CASE WHEN p >= 2 THEN ws[p-1] END AS w_1,
+         CASE WHEN p >= 3 THEN ws[p-2] END AS w_2
+  FROM (SELECT doc_id, ws, generate_subscripts(ws, 1) AS p, unnest(ws) AS w
+        FROM words WHERE len(ws) > 0)
+),
+uni AS (SELECT w, count(*)::BIGINT AS u_c FROM ctx GROUP BY w),
+bi  AS (SELECT w_1 AS w1, w AS w2, count(*)::BIGINT AS b_c FROM ctx
+        WHERE w_1 IS NOT NULL GROUP BY 1, 2),
+tri AS (SELECT w_2 AS w1, w_1 AS w2, w AS w3, count(*)::BIGINT AS t_c FROM ctx
+        WHERE w_2 IS NOT NULL GROUP BY 1, 2, 3),
+tot AS (SELECT sum(u_c)::DOUBLE AS total_tokens FROM uni),
+scored AS (
+  SELECT c.doc_id,
+    log10(CASE
+      WHEN t.t_c IS NOT NULL AND cb.b_c IS NOT NULL THEN t.t_c::DOUBLE / cb.b_c
+      WHEN b.b_c IS NOT NULL AND cu.u_c IS NOT NULL THEN 0.4 * b.b_c / cu.u_c
+      ELSE 0.4 * 0.4 * coalesce(u.u_c::DOUBLE, 0.5) / (SELECT total_tokens FROM tot)
+    END) AS lp
+  FROM ctx c
+  LEFT JOIN tri t  ON c.w_2 = t.w1 AND c.w_1 = t.w2 AND c.w = t.w3
+  LEFT JOIN bi cb  ON c.w_2 = cb.w1 AND c.w_1 = cb.w2
+  LEFT JOIN bi b   ON c.w_1 = b.w1 AND c.w = b.w2
+  LEFT JOIN uni cu ON c.w_1 = cu.w
+  LEFT JOIN uni u  ON c.w = u.w
+)
+SELECT doc_id, count(*)::BIGINT AS n_scored,
+       round(sum(lp), 6) AS sum_log10,
+       round(sum(lp) / count(*), 6) AS avg_logprob10,
+       round(power(10, -sum(lp) / count(*)), 4) AS ppl_proxy
+FROM scored GROUP BY doc_id
+"""

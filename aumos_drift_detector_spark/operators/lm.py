@@ -1,0 +1,231 @@
+"""Distributed n-gram language model: counts + stupid-backoff scoring.
+
+The perplexity-style quality signal real pre-training pipelines use
+(CCNet trains a KenLM on a clean reference corpus and buckets documents
+by perplexity).  This module is the DataFrame restatement: trigram /
+bigram / unigram counts built as three grouped aggregations, and
+per-document scoring under stupid backoff (Brants et al., 2007 — "Large
+Language Models in Machine Translation"):
+
+    S(w | w-2 w-1) = c(w-2 w-1 w) / c(w-2 w-1)          if trigram seen
+                   = alpha * c(w-1 w) / c(w-1)           elif bigram seen
+                   = alpha^2 * c(w) / total              else (0.5/total OOV)
+
+Stupid backoff deliberately uses raw relative frequencies with a fixed
+backoff multiplier instead of Kneser-Ney discounting — at corpus scale
+the simple score ranks documents as well as the smoothed model and every
+term stays a ratio of integers, which keeps the whole operator inside
+JVM column expressions and makes it exactly replayable by any SQL engine
+(the DuckDB oracle recomputes it bit-for-bit up to float rounding).
+
+Scale plan:
+  - context extraction is array indexing (``F.get`` on the per-document
+    word array) after one ``posexplode`` — no window, no per-document
+    shuffle, out-of-range indices are NULL and back off naturally (the
+    first word of a document scores as a unigram, the second as a
+    bigram);
+  - count dims shuffle once each on their own n-gram key with map-side
+    partial aggregation;
+  - scoring is five hash joins of the positions frame against the count
+    dims: unigram dims are broadcast-sized in any real corpus (vocab,
+    not corpus, cardinality), bigram/trigram joins are shuffle joins
+    co-partitioned on their join keys and AQE broadcasts them when a
+    filtered slice fits;
+  - the corpus total is a 1-row aggregate attached by broadcast
+    cross-join (the repo-wide scalar-attach convention).
+
+Reference parity: no LM exists in the reference; this is a pipeline
+extension (SURVEY.md "LLM-data-pipeline operators", quality-scoring
+family) alongside text.quality_features and quality_model.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+OOV_PSEUDO_COUNT = 0.5
+
+
+def _words(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+
+
+@dataclass(frozen=True)
+class NgramLM:
+    """Count tables of a trigram stupid-backoff model.
+
+    ``uni``: (w, u_c)   ``bi``: (w1, w2, b_c)   ``tri``: (w1, w2, w3, t_c)
+    ``total``: 1-row frame (total_tokens) — kept as a DataFrame so the
+    scalar is attached by broadcast join, never collected on the driver.
+    """
+
+    uni: DataFrame
+    bi: DataFrame
+    tri: DataFrame
+    total: DataFrame
+
+
+def train_ngram_lm(df: DataFrame, text_col: str) -> NgramLM:
+    """Build trigram/bigram/unigram count dims from a text corpus.
+
+    One posexplode feeds all three aggregations; each groupBy shuffles
+    pre-combined partials keyed by its own n-gram tuple.
+    """
+    pos = (
+        df.select(_words(F.col(text_col)).alias("_ws"))
+        .select("_ws", F.posexplode("_ws").alias("_p", "w"))
+        .select(
+            "w",
+            F.get("_ws", F.col("_p") - 1).alias("w_1"),
+            F.get("_ws", F.col("_p") - 2).alias("w_2"),
+        )
+    )
+    uni = pos.groupBy("w").agg(F.count(F.lit(1)).alias("u_c"))
+    bi = (
+        pos.where(F.col("w_1").isNotNull())
+        .groupBy(F.col("w_1").alias("w1"), F.col("w").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("b_c"))
+    )
+    tri = (
+        pos.where(F.col("w_2").isNotNull())
+        .groupBy(
+            F.col("w_2").alias("w1"),
+            F.col("w_1").alias("w2"),
+            F.col("w").alias("w3"),
+        )
+        .agg(F.count(F.lit(1)).alias("t_c"))
+    )
+    total = uni.agg(F.sum("u_c").alias("total_tokens"))
+    return NgramLM(uni=uni, bi=bi, tri=tri, total=total)
+
+
+def stupid_backoff_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lm: NgramLM,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Per-document stupid-backoff log-score and perplexity proxy.
+
+    Output, one row per document with >= 1 word:
+      id, n_scored, sum_log10 (6dp), avg_logprob10 (6dp),
+      ppl_proxy = 10^(-avg_logprob10) (4dp) — the CCNet-style bucketing
+      key (lower = more like the training corpus).
+
+    Backoff is expressed as one CASE over five left joins; a NULL
+    context word (document positions 0 and 1) can never match the
+    trigram/bigram dims, so short-context positions back off without
+    special-casing.
+    """
+    pos = (
+        df.select(F.col(id_col), _words(F.col(text_col)).alias("_ws"))
+        .where(F.size("_ws") > 0)
+        .select(id_col, "_ws", F.posexplode("_ws").alias("_p", "w"))
+        .select(
+            id_col,
+            "w",
+            F.get("_ws", F.col("_p") - 1).alias("w_1"),
+            F.get("_ws", F.col("_p") - 2).alias("w_2"),
+        )
+    )
+
+    tri = lm.tri
+    bi = lm.bi
+    uni = lm.uni
+
+    joined = (
+        pos.join(
+            tri,
+            (pos["w_2"] == tri["w1"])
+            & (pos["w_1"] == tri["w2"])
+            & (pos["w"] == tri["w3"]),
+            "left",
+        )
+        .drop("w1", "w2", "w3")
+        .join(
+            bi.select(
+                F.col("w1").alias("c_w1"),
+                F.col("w2").alias("c_w2"),
+                F.col("b_c").alias("ctx_bc"),
+            ),
+            (F.col("w_2") == F.col("c_w1")) & (F.col("w_1") == F.col("c_w2")),
+            "left",
+        )
+        .drop("c_w1", "c_w2")
+        .join(
+            bi.select(
+                F.col("w1").alias("b_w1"),
+                F.col("w2").alias("b_w2"),
+                "b_c",
+            ),
+            (F.col("w_1") == F.col("b_w1")) & (F.col("w") == F.col("b_w2")),
+            "left",
+        )
+        .drop("b_w1", "b_w2")
+        .join(
+            uni.select(F.col("w").alias("u_ctx_w"), F.col("u_c").alias("ctx_uc")),
+            F.col("w_1") == F.col("u_ctx_w"),
+            "left",
+        )
+        .drop("u_ctx_w")
+        .join(
+            uni.select(F.col("w").alias("u_w"), "u_c"),
+            F.col("w") == F.col("u_w"),
+            "left",
+        )
+        .drop("u_w")
+        .crossJoin(F.broadcast(lm.total))
+    )
+
+    a = F.lit(float(alpha))
+    score = (
+        F.when(
+            F.col("t_c").isNotNull() & F.col("ctx_bc").isNotNull(),
+            F.col("t_c") / F.col("ctx_bc"),
+        )
+        .when(
+            F.col("b_c").isNotNull() & F.col("ctx_uc").isNotNull(),
+            a * F.col("b_c") / F.col("ctx_uc"),
+        )
+        .otherwise(
+            a
+            * a
+            * F.coalesce(F.col("u_c").cast("double"), F.lit(OOV_PSEUDO_COUNT))
+            / F.col("total_tokens")
+        )
+    )
+
+    return (
+        joined.select(id_col, F.log10(score).alias("_lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum("_lp").alias("_sum_lp"),
+        )
+        .select(
+            id_col,
+            "n_scored",
+            F.round("_sum_lp", 6).alias("sum_log10"),
+            F.round(F.col("_sum_lp") / F.col("n_scored"), 6).alias("avg_logprob10"),
+            F.round(
+                F.pow(F.lit(10.0), -F.col("_sum_lp") / F.col("n_scored")), 4
+            ).alias("ppl_proxy"),
+        )
+    )
+
+
+def lm_perplexity(
+    df: DataFrame, id_col: str, text_col: str, alpha: float = 0.4
+) -> DataFrame:
+    """Self-scored corpus perplexity: train on ``df`` and score ``df``.
+
+    The single-corpus form used for outlier hunting (documents unlike
+    the rest of the corpus score high).  For the CCNet reference-corpus
+    form, call train_ngram_lm on the clean corpus and
+    stupid_backoff_scores on the candidate corpus.
+    """
+    return stupid_backoff_scores(df, id_col, text_col, train_ngram_lm(df, text_col), alpha)

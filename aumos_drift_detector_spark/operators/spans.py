@@ -1,0 +1,180 @@
+"""Cross-document duplicated-span detection and span-masked cleaning.
+
+The exact-substring layer of the dedup family (see ``dedup.py`` for the
+document-level operators): find every k-word span (contiguous shingle)
+that appears in >= ``min_dup_docs`` DISTINCT documents, report the
+fraction of each document covered by such spans, and emit a cleaned text
+with the covered words removed.  This is the DataFrame restatement of the
+"deduplicating training data makes language models better" exact-substring
+pass (Lee et al., 2022): boilerplate, licence blocks, and templated
+sentences duplicate at the span level long before whole documents do,
+so document-level MinHash/SimHash alone leaves them in the corpus.
+
+Scale plan (every stage keyed, no all-pairs anywhere):
+  1. shingling is a per-row array expression (``transform`` over
+     ``sequence``) — JVM-side, zero shuffle;
+  2. span frequencies: two-phase distinct-doc count grouped by span hash
+     (map-side partial combine collapses each partition's repeats first);
+  3. duplicated spans join back by hash — the duplicated-span dim is
+     orders smaller than the corpus and AQE broadcasts it when it fits;
+  4. covered word positions: explode of exactly k positions per
+     duplicated span occurrence, then a distinct keyed by (doc, pos);
+  5. cleaning: anti-join words against covered positions and reassemble
+     per document (sort_array over collected (pos, word) structs).
+
+Hashing follows the ``dedup.py`` convention: ``xxhash64`` (fast JVM path,
+default) or ``md5_60`` (bit-identical in any SQL engine with md5 — the
+oracle-replayable mode).  Output columns never expose the hash, so an
+oracle may group by the raw span text and reach identical counts.
+
+Reference parity: the reference has no substring-level dedup; this is a
+pipeline extension (SURVEY.md "LLM-data-pipeline operators"), with the
+uniqueness-check semantics of constraints.py J6 applied at span rather
+than row granularity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _base_hash
+
+
+def _clean_words(text: Column) -> Column:
+    """Lowercased whitespace words with empty tokens dropped (leading /
+    trailing / repeated whitespace would otherwise inject '' words)."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+
+
+def word_spans(words: Column, k: int) -> Column:
+    """Array of all k-word spans (space-joined) at positions 0..n-k.
+
+    Pure higher-order array expression — evaluated inside whole-stage
+    codegen, nothing shuffles.  Documents shorter than k words yield an
+    empty array (they cannot participate in span duplication).
+    """
+    n = F.size(words)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def duplicated_spans(
+    pos_spans: DataFrame, id_col: str, min_dup_docs: int = 2
+) -> DataFrame:
+    """Span-frequency dim over a positioned-spans frame: every span hash
+    present in >= ``min_dup_docs`` DISTINCT documents, as (span_h, n_docs).
+
+    Distinct-doc counting is the two-phase plan (groupBy(hash, doc) then
+    groupBy(hash)) spelled out explicitly so the first phase's map-side
+    combine collapses intra-document repeats before anything shuffles —
+    a boilerplate span repeated thousands of times inside one document
+    costs one shuffle row.
+    """
+    per_doc = pos_spans.select("span_h", id_col).groupBy("span_h", id_col).agg(
+        F.count(F.lit(1)).alias("_occ")
+    )
+    return (
+        per_doc.groupBy("span_h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_dup_docs)
+    )
+
+
+def span_dedup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_dup_docs: int = 2,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Per-document duplicated-span report + span-masked cleaned text.
+
+    Output, one row per document that has >= 1 word:
+      id, n_words, n_spans, dup_spans (positions whose span is duplicated
+      corpus-wide), covered_words (distinct word positions under any
+      duplicated span), dup_span_frac (covered/n_words, 6dp),
+      cleaned_n_words, cleaned_md5 (md5 of the space-rejoined cleaned
+      text; '' when every word is covered).
+
+    The cleaned text drops ALL occurrences of duplicated spans (both
+    sides of every duplicate pair) — the deterministic policy: keeping
+    "the first" occurrence needs a global document order, which a
+    distributed corpus does not have.  Callers wanting keep-one semantics
+    compose this with the connected-components cluster resolution in
+    ``graph.py``.
+    """
+    words_col = _clean_words(F.col(text_col))
+    base = df.select(
+        F.col(id_col), words_col.alias("_ws")
+    ).where(F.size("_ws") > 0)
+
+    pos_spans = base.select(
+        id_col, F.posexplode(word_spans(F.col("_ws"), k)).alias("pos", "span")
+    ).select(id_col, "pos", _base_hash(F.col("span"), hash_fn).alias("span_h"))
+
+    dup = duplicated_spans(pos_spans, id_col, min_dup_docs)
+
+    dup_pos = pos_spans.join(dup.select("span_h"), "span_h")
+    covered = (
+        dup_pos.select(
+            id_col,
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("wpos"),
+        )
+        .distinct()
+    )
+
+    dup_span_counts = dup_pos.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dup_spans")
+    )
+    covered_counts = covered.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("covered_words")
+    )
+
+    words_pos = base.select(
+        id_col, F.posexplode("_ws").alias("wpos", "word")
+    )
+    cleaned = (
+        words_pos.join(covered, [id_col, "wpos"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("wpos", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("cleaned_text"),
+            F.count(F.lit(1)).alias("cleaned_n_words"),
+        )
+    )
+
+    stats = base.select(
+        id_col,
+        F.size("_ws").alias("n_words"),
+        F.greatest(F.size("_ws") - (k - 1), F.lit(0)).alias("n_spans"),
+    )
+    out = (
+        stats.join(dup_span_counts, id_col, "left")
+        .join(covered_counts, id_col, "left")
+        .join(cleaned, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            "n_spans",
+            F.coalesce("dup_spans", F.lit(0)).cast("long").alias("dup_spans"),
+            F.coalesce("covered_words", F.lit(0)).cast("long").alias("covered_words"),
+            F.round(
+                F.coalesce("covered_words", F.lit(0)) / F.col("n_words"), 6
+            ).alias("dup_span_frac"),
+            F.coalesce("cleaned_n_words", F.lit(0)).cast("long").alias("cleaned_n_words"),
+            F.md5(F.coalesce("cleaned_text", F.lit(""))).alias("cleaned_md5"),
+        )
+    )
+    return out
