@@ -1184,6 +1184,46 @@ def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_perplexity(docs, "doc_id", "text")
 
 
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc BPE token stream under the fixed DEMO_MERGES table
+    (operators/bpe.py — Zipf-deduped Arrow encode of distinct words,
+    vocab-dim join back, one reassembly shuffle).  Every merge step is
+    deterministic string surgery, so the DuckDB oracle replays the
+    min-rank/leftmost merge loop as a recursive CTE over the same merge
+    table and must reproduce the token-stream md5 per document."""
+    from aumos_drift_detector_spark.operators.bpe import (
+        DEMO_MERGES,
+        BpeTokenizer,
+        bpe_encode,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    enc = bpe_encode(docs, "doc_id", "text", BpeTokenizer(merges=tuple(DEMO_MERGES)))
+    return enc.select(
+        "doc_id",
+        "n_words",
+        "n_bpe_tokens",
+        F.md5(F.concat_ws(" ", "bpe_tokens")).alias("tokens_md5"),
+    )
+
+
+def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge table learned from the documents corpus at this sf
+    (num_merges=48, min_count=2 — operators/bpe.py train_bpe, adaptive
+    driver/distributed plan, parity pytest-pinned).  Training's
+    per-iteration argmax-over-aggregate needs either recursion with
+    aggregates (SQL-prohibited) or a generated 48-stage CTE chain; the
+    oracle takes the generated-chain route (see _bpe_train_sql)."""
+    from aumos_drift_detector_spark.operators.bpe import train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = train_bpe(docs, "text", num_merges=48, min_count=2)
+    rows = [(i, l, r, l + r) for i, (l, r) in enumerate(tok.merges)]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, merged string"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_customer": _q_profile_customer,          # A1/A6
@@ -1245,6 +1285,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multivariate_drift": _q_multivariate_drift,      # T9/T10 (rows-only)
         "span_dedup_documents": _q_span_dedup,            # exact-substring dedup (r5)
         "lm_perplexity_documents": _q_lm_perplexity,      # n-gram LM quality (r5)
+        "bpe_encode_documents": _q_bpe_encode,            # BPE tokenizer encode (r5)
+        "bpe_train_documents": _q_bpe_train,              # BPE tokenizer train (r5)
     }
 
 
@@ -1815,6 +1857,8 @@ SELECT 'embedding' AS feature,
         "adwin_events": _adwin_sql(),
         "span_dedup_documents": _span_dedup_sql(),
         "lm_perplexity_documents": _LM_PERPLEXITY_SQL,
+        "bpe_encode_documents": _bpe_encode_sql(),
+        "bpe_train_documents": _bpe_train_sql(),
         # cbpe_estimate, dle_loss, multivariate_drift:
         # rows-only (seeded bootstrap / GBT fit / SVD — beyond DuckDB SQL)
     }
@@ -2799,3 +2843,136 @@ SELECT doc_id, count(*)::BIGINT AS n_scored,
        round(power(10, -sum(lp) / count(*)), 4) AS ppl_proxy
 FROM scored GROUP BY doc_id
 """
+
+
+# BPE encode replay: DuckDB re-runs the min-rank/leftmost merge loop as
+# a recursive CTE over the DISTINCT-word dim (same Zipf dedup as the
+# Spark plan), using the same fixed merge table.  map lookups key on
+# l || chr(1) || r; the per-row best pair is the min of rank*100000 + i
+# (i < 100000 always: words are shorter), so ties break leftmost exactly
+# like operators/bpe.py::_encode_kernel.  See _q_bpe_encode.
+def _bpe_merge_values() -> str:
+    from aumos_drift_detector_spark.operators.bpe import DEMO_MERGES
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    return ", ".join(
+        f"({i}, {q(l)}, {q(r)})" for i, (l, r) in enumerate(DEMO_MERGES)
+    )
+
+
+def _bpe_encode_sql() -> str:
+    return f"""
+WITH RECURSIVE
+mm AS (SELECT map(list(l || chr(1) || r), list(rank)) AS mp
+       FROM (VALUES {_bpe_merge_values()}) t(rank, l, r)),
+docws AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '') AS ws
+  FROM documents
+),
+base AS (SELECT * FROM docws WHERE len(ws) > 0),
+words AS (SELECT DISTINCT unnest(ws) AS w FROM base),
+init AS (SELECT w, list_append(regexp_extract_all(w, '.'), '</w>') AS syms
+         FROM words),
+enc AS (
+  SELECT w, syms FROM init
+  UNION ALL
+  SELECT w, syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:] AS syms
+  FROM (
+    SELECT w, syms, (code % 100000)::BIGINT AS bi, code
+    FROM (
+      SELECT e.w, e.syms,
+             list_min(list_transform(range(1, len(e.syms)),
+               i -> CASE WHEN map_extract(mm.mp,
+                               e.syms[i] || chr(1) || e.syms[i+1])[1] IS NOT NULL
+                    THEN map_extract(mm.mp,
+                           e.syms[i] || chr(1) || e.syms[i+1])[1] * 100000 + i
+                    END)) AS code
+      FROM enc e, mm)
+  ) WHERE code IS NOT NULL
+),
+final AS (
+  SELECT e.w, e.syms
+  FROM enc e, mm
+  WHERE list_min(list_transform(range(1, len(e.syms)),
+          i -> CASE WHEN map_extract(mm.mp,
+                          e.syms[i] || chr(1) || e.syms[i+1])[1] IS NOT NULL
+               THEN map_extract(mm.mp,
+                      e.syms[i] || chr(1) || e.syms[i+1])[1] * 100000 + i
+               END)) IS NULL
+),
+wp AS (SELECT doc_id, generate_subscripts(ws, 1) AS wpos, unnest(ws) AS w
+       FROM base),
+assembled AS (
+  SELECT wp.doc_id,
+         flatten(list(f.syms ORDER BY wp.wpos)) AS toks
+  FROM wp JOIN final f USING (w)
+  GROUP BY wp.doc_id
+)
+SELECT b.doc_id,
+       len(b.ws)::BIGINT AS n_words,
+       len(a.toks)::BIGINT AS n_bpe_tokens,
+       md5(array_to_string(a.toks, ' ')) AS tokens_md5
+FROM base b JOIN assembled a USING (doc_id)
+"""
+
+
+# BPE TRAIN replay: SQL cannot aggregate over a recursive relation, so
+# the oracle unrolls the merge loop into a generated 48-stage CTE chain
+# instead — per stage: adjacent-pair counts (pc), the deterministic
+# argmax with the Spark tie-break (b: cnt DESC, l, r LIMIT 1, min_count
+# filter), and the replace-last merge fold via list_reduce over the
+# chr(2)-joined symbol string (s).  AS MATERIALIZED is load-bearing:
+# each stage is referenced twice, and DuckDB's default single-use CTE
+# inlining would otherwise expand the chain exponentially.  Early stop
+# matches train_bpe: an empty b{k} propagates s unchanged, so every
+# later b is empty too and the UNION emits exactly the learned prefix.
+def _bpe_train_sql(num_merges: int = 48, min_count: int = 2) -> str:
+    parts = [
+        """
+WITH
+wf AS MATERIALIZED (
+  SELECT w, count(*)::BIGINT AS freq
+  FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents)
+  GROUP BY w
+),
+s0 AS MATERIALIZED (
+  SELECT array_to_string(list_append(regexp_extract_all(w, '.'), '</w>'),
+                         chr(2)) AS syms, freq
+  FROM wf
+)"""
+    ]
+    for k in range(1, num_merges + 1):
+        parts.append(
+            f""",
+pc{k} AS (
+  SELECT p.l AS l, p.r AS r, sum(freq)::BIGINT AS cnt FROM (
+    SELECT unnest(list_transform(range(1, len(parts)),
+                  i -> struct_pack(l := parts[i], r := parts[i+1]))) AS p, freq
+    FROM (SELECT string_split(syms, chr(2)) AS parts, freq FROM s{k-1})
+    WHERE len(parts) > 1
+  ) GROUP BY p.l, p.r
+),
+b{k} AS MATERIALIZED (SELECT l, r FROM pc{k} WHERE cnt >= {min_count}
+         ORDER BY cnt DESC, l, r LIMIT 1),
+s{k} AS MATERIALIZED (
+  SELECT CASE WHEN b.l IS NULL THEN s.syms
+         ELSE list_reduce(string_split(s.syms, chr(2)),
+                (acc, x) -> CASE
+                  WHEN (acc = b.l OR ends_with(acc, chr(2) || b.l)) AND x = b.r
+                  THEN left(acc, len(acc) - len(b.l)) || b.l || b.r
+                  ELSE acc || chr(2) || x END)
+         END AS syms, s.freq
+  FROM s{k-1} s LEFT JOIN b{k} b ON TRUE
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f'SELECT {k - 1} AS rank, l AS "left", r AS "right", l || r AS merged '
+        f"FROM b{k}"
+        for k in range(1, num_merges + 1)
+    )
+    return "".join(parts) + "\n" + union + "\n"
