@@ -1224,6 +1224,25 @@ def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang tokenizer evaluation under the fixed DEMO_MERGES table:
+    fertility (tokens/word), char-fallback rate (tokens that are raw
+    alphabet symbols, not merge outputs) and distinct tokens — the
+    acceptance gate run before a tokenizer ships against a corpus slice
+    (operators/bpe.py bpe_corpus_stats).  DuckDB replays it over the
+    same recursive-CTE encode."""
+    from aumos_drift_detector_spark.operators.bpe import (
+        DEMO_MERGES,
+        BpeTokenizer,
+        bpe_corpus_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_corpus_stats(
+        docs, "text", BpeTokenizer(merges=tuple(DEMO_MERGES)), group_cols=("lang",)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_customer": _q_profile_customer,          # A1/A6
@@ -1287,6 +1306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity_documents": _q_lm_perplexity,      # n-gram LM quality (r5)
         "bpe_encode_documents": _q_bpe_encode,            # BPE tokenizer encode (r5)
         "bpe_train_documents": _q_bpe_train,              # BPE tokenizer train (r5)
+        "bpe_corpus_stats_documents": _q_bpe_stats,       # tokenizer eval (r5)
     }
 
 
@@ -1859,6 +1879,7 @@ SELECT 'embedding' AS feature,
         "lm_perplexity_documents": _LM_PERPLEXITY_SQL,
         "bpe_encode_documents": _bpe_encode_sql(),
         "bpe_train_documents": _bpe_train_sql(),
+        "bpe_corpus_stats_documents": _bpe_stats_sql(),
         # cbpe_estimate, dle_loss, multivariate_drift:
         # rows-only (seeded bootstrap / GBT fit / SVD — beyond DuckDB SQL)
     }
@@ -2862,14 +2883,17 @@ def _bpe_merge_values() -> str:
     )
 
 
-def _bpe_encode_sql() -> str:
+def _bpe_final_cte() -> str:
+    """Shared WITH-body prefix: distinct-word dim encoded by the
+    recursive min-rank/leftmost merge loop -> final(w, syms)."""
     return f"""
 WITH RECURSIVE
 mm AS (SELECT map(list(l || chr(1) || r), list(rank)) AS mp
        FROM (VALUES {_bpe_merge_values()}) t(rank, l, r)),
 docws AS (
-  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                             x -> x <> '') AS ws
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS ws
   FROM documents
 ),
 base AS (SELECT * FROM docws WHERE len(ws) > 0),
@@ -2902,7 +2926,11 @@ final AS (
                THEN map_extract(mm.mp,
                       e.syms[i] || chr(1) || e.syms[i+1])[1] * 100000 + i
                END)) IS NULL
-),
+)"""
+
+
+def _bpe_encode_sql() -> str:
+    return f"""{_bpe_final_cte()},
 wp AS (SELECT doc_id, generate_subscripts(ws, 1) AS wpos, unnest(ws) AS w
        FROM base),
 assembled AS (
@@ -2976,3 +3004,38 @@ s{k} AS MATERIALIZED (
         for k in range(1, num_merges + 1)
     )
     return "".join(parts) + "\n" + union + "\n"
+
+
+# Tokenizer-evaluation replay: per-lang fertility / char-fallback /
+# distinct-token stats over the same recursive-CTE encode.  The
+# fallback set is the merged-output list (l || r per merge row); a token
+# not in it is a raw alphabet symbol.  See _q_bpe_stats.
+def _bpe_stats_sql() -> str:
+    return f"""{_bpe_final_cte()},
+mset AS (SELECT list(l || r) AS ms
+         FROM (VALUES {_bpe_merge_values()}) t(rank, l, r)),
+fdim AS (
+  SELECT f.w, f.syms, len(f.syms)::BIGINT AS n_tok,
+         len(list_filter(f.syms, t -> NOT list_contains(mset.ms, t)))::BIGINT
+           AS n_fallback
+  FROM final f, mset
+),
+wp AS (SELECT lang, unnest(ws) AS w FROM base),
+j AS (SELECT wp.lang, d.n_tok, d.n_fallback, d.syms
+      FROM wp JOIN fdim d USING (w)),
+agg AS (
+  SELECT lang, count(*)::BIGINT AS n_words, sum(n_tok)::BIGINT AS n_tokens,
+         sum(n_fallback)::BIGINT AS n_fallback
+  FROM j GROUP BY lang
+),
+dt AS (
+  SELECT lang, count(DISTINCT tok)::BIGINT AS distinct_tokens
+  FROM (SELECT lang, unnest(syms) AS tok FROM j)
+  GROUP BY lang
+)
+SELECT a.lang, a.n_words, a.n_tokens,
+       round(a.n_tokens / a.n_words, 6) AS fertility,
+       round(a.n_fallback / a.n_tokens, 6) AS char_fallback_rate,
+       d.distinct_tokens
+FROM agg a JOIN dt d USING (lang)
+"""

@@ -348,6 +348,66 @@ def bpe_encode(
     )
 
 
+def bpe_corpus_stats(
+    df: DataFrame,
+    text_col: str,
+    tokenizer: BpeTokenizer,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-group tokenizer evaluation — the acceptance gate run before a
+    tokenizer ships against a new corpus slice:
+
+      n_words, n_tokens, fertility (tokens per word, the compression
+      metric), char_fallback_rate (fraction of emitted tokens that are
+      NOT a learned merge output, i.e. raw alphabet symbols — high
+      fallback on a slice means the merge table never saw its script),
+      distinct_tokens.
+
+    Same Zipf-deduped plan as ``bpe_encode``: only distinct words are
+    encoded, per-word fallback counts are computed once on the vocab dim
+    (a ``F.filter`` over the broadcast-literal merged-token set, so no
+    token-instance explode for the rate), and only the distinct-token
+    count pays a token-level aggregation (two-phase via countDistinct's
+    partial aggregates).
+    """
+    gcols = list(group_cols)
+    pos = df.select(
+        *gcols, F.explode(_words(F.col(text_col))).alias("w")
+    )
+    dim = encode_words(pos.select("w").distinct(), tokenizer)
+    merged = [left + right for left, right in tokenizer.merges]
+    if merged:
+        fallback = F.size(F.filter("toks", lambda t: ~t.isin(merged)))
+    else:
+        fallback = F.col("n_tok")
+    dim = dim.withColumn("n_fallback", fallback)
+    joined = pos.join(dim, "w")
+    if not gcols:
+        joined = joined.withColumn("_g", F.lit(1))
+    keynames = gcols if gcols else ["_g"]
+    base = joined.groupBy(*keynames).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum("n_fallback").alias("n_fallback"),
+    )
+    dt = (
+        joined.select(*keynames, F.explode("toks").alias("tok"))
+        .groupBy(*keynames)
+        .agg(F.countDistinct("tok").alias("distinct_tokens"))
+    )
+    out = base.join(dt, keynames).select(
+        *gcols,
+        "n_words",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("n_words"), 6).alias("fertility"),
+        F.round(F.col("n_fallback") / F.col("n_tokens"), 6).alias(
+            "char_fallback_rate"
+        ),
+        "distinct_tokens",
+    )
+    return out
+
+
 #: Fixed demonstration merge table for the oracle-checked contract query:
 #: produced by ``train_bpe`` (driver path == distributed path, parity
 #: pytest-pinned) on the deterministic sf0.001 ``documents`` corpus with

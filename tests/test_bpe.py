@@ -192,3 +192,41 @@ def test_demo_merges_reproducible_from_sf0001(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     tok = train_bpe(docs, "text", num_merges=48, min_count=2)
     assert list(tok.merges) == DEMO_MERGES
+
+
+def test_bpe_corpus_stats_grouped(spark):
+    tok = BpeTokenizer(merges=(("l", "o"), ("lo", "w"), ("low", END_OF_WORD)))
+    docs = spark.createDataFrame(
+        [(1, "low low x", "en"), (2, "low", "de")],
+        "doc_id long, text string, lang string",
+    )
+    from aumos_drift_detector_spark.operators.bpe import bpe_corpus_stats
+
+    out = {
+        r["lang"]: r.asDict()
+        for r in bpe_corpus_stats(docs, "text", tok, group_cols=("lang",)).collect()
+    }
+    # en: 'low'->[low</w>] (x2), 'x'->[x, </w>]; both of x's tokens are
+    # fallback (neither is a merge output), low</w> is not.
+    en = out["en"]
+    assert en["n_words"] == 3
+    assert en["n_tokens"] == 4
+    assert en["fertility"] == round(4 / 3, 6)
+    assert en["char_fallback_rate"] == 0.5
+    assert en["distinct_tokens"] == 3  # low</w>, x, </w>
+    de = out["de"]
+    assert (de["n_words"], de["n_tokens"], de["char_fallback_rate"]) == (1, 1, 0.0)
+
+
+def test_bpe_corpus_stats_global_and_empty_merges(spark):
+    from aumos_drift_detector_spark.operators.bpe import bpe_corpus_stats
+
+    docs = _docs(spark, [(1, "ab ab")])
+    out = bpe_corpus_stats(docs, "text", BpeTokenizer(merges=())).collect()
+    assert len(out) == 1
+    r = out[0].asDict()
+    # every token is a raw symbol under an empty merge table
+    assert r["char_fallback_rate"] == 1.0
+    assert r["n_words"] == 2 and r["n_tokens"] == 6
+    assert r["distinct_tokens"] == 3  # a, b, </w>
+    assert "lang" not in r and "_g" not in r
