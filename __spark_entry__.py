@@ -1243,6 +1243,29 @@ def _q_bpe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang token-budget accounting after a perplexity gate
+    (plans/corpus_pipeline.py corpus_token_budget): the LM self-score
+    gates documents at ppl_proxy <= 20 and the survivors' BPE token
+    counts aggregate per lang.  The oracle composes the LM and encode
+    replays as nested CTEs — the composition, not just the stages, is
+    what the hash check proves."""
+    from aumos_drift_detector_spark.operators.bpe import DEMO_MERGES, BpeTokenizer
+    from aumos_drift_detector_spark.plans.corpus_pipeline import (
+        corpus_token_budget,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_token_budget(
+        docs,
+        "doc_id",
+        "text",
+        BpeTokenizer(merges=tuple(DEMO_MERGES)),
+        ppl_max=20.0,
+        group_cols=("lang",),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_customer": _q_profile_customer,          # A1/A6
@@ -1307,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_documents": _q_bpe_encode,            # BPE tokenizer encode (r5)
         "bpe_train_documents": _q_bpe_train,              # BPE tokenizer train (r5)
         "bpe_corpus_stats_documents": _q_bpe_stats,       # tokenizer eval (r5)
+        "token_budget_documents": _q_token_budget,        # ppl gate + token budget (r5)
     }
 
 
@@ -1880,6 +1904,7 @@ SELECT 'embedding' AS feature,
         "bpe_encode_documents": _bpe_encode_sql(),
         "bpe_train_documents": _bpe_train_sql(),
         "bpe_corpus_stats_documents": _bpe_stats_sql(),
+        "token_budget_documents": _token_budget_sql(),
         # cbpe_estimate, dle_loss, multivariate_drift:
         # rows-only (seeded bootstrap / GBT fit / SVD — beyond DuckDB SQL)
     }
@@ -3038,4 +3063,30 @@ SELECT a.lang, a.n_words, a.n_tokens,
        round(a.n_fallback / a.n_tokens, 6) AS char_fallback_rate,
        d.distinct_tokens
 FROM agg a JOIN dt d USING (lang)
+"""
+
+
+# Token-budget replay: the LM replay and the BPE-encode replay compose
+# as nested CTEs (each is a complete WITH...SELECT, legal as a
+# parenthesized CTE body), joined on doc_id with the same rounded-ppl
+# gate boundary the Spark side applies.  See _q_token_budget.
+def _token_budget_sql(ppl_max: float = 20.0) -> str:
+    return f"""
+WITH lm AS ({_LM_PERPLEXITY_SQL}),
+enc AS ({_bpe_encode_sql()}),
+j AS (
+  SELECT d.lang, lm.ppl_proxy, enc.n_bpe_tokens,
+         (lm.ppl_proxy <= {ppl_max}) AS kept
+  FROM documents d
+  JOIN lm  ON d.doc_id = lm.doc_id
+  JOIN enc ON d.doc_id = enc.doc_id
+)
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       sum(kept::BIGINT)::BIGINT AS n_docs_kept,
+       round(sum(kept::BIGINT) / count(*), 6) AS pct_docs_kept,
+       coalesce(sum(CASE WHEN kept THEN n_bpe_tokens END), 0)::BIGINT
+         AS n_tokens_kept,
+       round(avg(CASE WHEN kept THEN ppl_proxy END), 6) AS avg_ppl_kept
+FROM j GROUP BY lang
 """

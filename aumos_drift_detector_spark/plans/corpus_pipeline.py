@@ -179,3 +179,65 @@ def corpus_prep_audit(
         )
         .orderBy(split_col)
     )
+
+
+def corpus_token_budget(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    tokenizer,
+    ppl_max: float,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Token-budget accounting after a perplexity gate — the question a
+    training run actually asks of a prepared corpus: *how many tokens do
+    we have, per slice, once the quality gate is applied?*
+
+    Composes the round-5 tokens family: every document is self-scored by
+    the stupid-backoff LM (operators/lm.py) and BPE-encoded under
+    ``tokenizer`` (operators/bpe.py); documents with ``ppl_proxy`` above
+    ``ppl_max`` are dropped (the CCNet head/middle selection, with the
+    corpus itself as the reference model); the survivors' token counts
+    aggregate per ``group_cols``:
+
+        group..., n_docs, n_docs_kept, pct_docs_kept,
+        n_tokens_kept, avg_ppl_kept
+
+    Scale shape: the LM's five keyed joins and the encode's two shuffles
+    dominate; the gate and audit ride along (a filter plus one grouped
+    aggregation over per-document rows, i.e. corpus-row — not token —
+    cardinality).  The whole composition is replayed by one DuckDB
+    oracle (`token_budget_documents`) built from the LM and encode
+    replays as nested CTEs, proving the stages compose exactly (same
+    rounding boundary on the gate, same join keys).
+    """
+    from aumos_drift_detector_spark.operators.bpe import bpe_encode
+    from aumos_drift_detector_spark.operators.lm import lm_perplexity
+
+    gcols = list(group_cols)
+    lm = lm_perplexity(docs, id_col, text_col).select(id_col, "ppl_proxy")
+    enc = bpe_encode(docs, id_col, text_col, tokenizer).select(
+        id_col, "n_bpe_tokens"
+    )
+    joined = (
+        docs.select(id_col, *gcols)
+        .join(lm, id_col)
+        .join(enc, id_col)
+        .withColumn("_kept", F.col("ppl_proxy") <= F.lit(float(ppl_max)))
+    )
+    if not gcols:
+        joined = joined.withColumn("_g", F.lit(1))
+    keynames = gcols if gcols else ["_g"]
+    kept_i = F.col("_kept").cast("long")
+    out = joined.groupBy(*keynames).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept_i).alias("n_docs_kept"),
+        F.round(F.sum(kept_i) / F.count(F.lit(1)), 6).alias("pct_docs_kept"),
+        F.coalesce(
+            F.sum(F.when(F.col("_kept"), F.col("n_bpe_tokens"))), F.lit(0)
+        ).alias("n_tokens_kept"),
+        F.round(F.avg(F.when(F.col("_kept"), F.col("ppl_proxy"))), 6).alias(
+            "avg_ppl_kept"
+        ),
+    )
+    return out if gcols else out.drop("_g")

@@ -152,3 +152,69 @@ class TestCorpusQualityMixPipeline:
             weights, 0.0, {"s0": 1, "s1": 1},
         ).toPandas()
         assert sorted(pdf["doc_id"]) == sorted(again["doc_id"])
+
+
+class TestCorpusTokenBudget:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                # en: two docs, one repetitive outlier (high self-ppl is
+                # NOT guaranteed on tiny corpora, so gate on a computed
+                # boundary below instead of guessing)
+                (1, "low low low low", "en"),
+                (2, "low lower lowest", "en"),
+                (3, "new newer newest", "de"),
+            ],
+            "doc_id long, text string, lang string",
+        )
+
+    def test_budget_gate_and_totals(self, spark):
+        from aumos_drift_detector_spark.operators.bpe import BpeTokenizer
+        from aumos_drift_detector_spark.operators.lm import lm_perplexity
+        from aumos_drift_detector_spark.plans.corpus_pipeline import (
+            corpus_token_budget,
+        )
+
+        docs = self._docs(spark)
+        tok = BpeTokenizer(merges=(("l", "o"), ("lo", "w"), ("low", "</w>")))
+        ppl = {
+            r["doc_id"]: r["ppl_proxy"]
+            for r in lm_perplexity(docs, "doc_id", "text").collect()
+        }
+        # gate exactly between the two en docs: boundary is inclusive
+        lo, hi = sorted([ppl[1], ppl[2]])
+        out = {
+            r["lang"]: r.asDict()
+            for r in corpus_token_budget(
+                docs, "doc_id", "text", tok, ppl_max=lo, group_cols=("lang",)
+            ).collect()
+        }
+        en = out["en"]
+        assert en["n_docs"] == 2
+        assert en["n_docs_kept"] == 1
+        assert en["pct_docs_kept"] == 0.5
+        assert en["n_tokens_kept"] > 0
+        # de doc's ppl may fall on either side of en's boundary; just
+        # check the accounting is consistent
+        de = out["de"]
+        assert de["n_docs"] == 1
+        assert de["n_docs_kept"] in (0, 1)
+        if de["n_docs_kept"] == 0:
+            assert de["n_tokens_kept"] == 0 and de["avg_ppl_kept"] is None
+
+    def test_budget_global_group_and_all_dropped(self, spark):
+        from aumos_drift_detector_spark.operators.bpe import BpeTokenizer
+        from aumos_drift_detector_spark.plans.corpus_pipeline import (
+            corpus_token_budget,
+        )
+
+        docs = self._docs(spark)
+        out = corpus_token_budget(
+            docs, "doc_id", "text", BpeTokenizer(merges=()), ppl_max=0.0
+        ).collect()
+        assert len(out) == 1
+        r = out[0].asDict()
+        assert r["n_docs"] == 3 and r["n_docs_kept"] == 0
+        assert r["n_tokens_kept"] == 0
+        assert r["avg_ppl_kept"] is None
+        assert "_g" not in r
