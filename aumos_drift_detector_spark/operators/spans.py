@@ -119,23 +119,35 @@ def span_dedup_stats(
         id_col, F.posexplode(word_spans(F.col("_ws"), k)).alias("pos", "span")
     ).select(id_col, "pos", _base_hash(F.col("span"), hash_fn).alias("span_h"))
 
-    dup = duplicated_spans(pos_spans, id_col, min_dup_docs)
-
-    dup_pos = pos_spans.join(dup.select("span_h"), "span_h")
-    covered = (
-        dup_pos.select(
-            id_col,
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("wpos"),
-        )
-        .distinct()
+    # The dup dim is the plan's reuse point: every downstream branch
+    # needs it, and without truncation Catalyst re-executes the 2-shuffle
+    # distinct-doc aggregation once PER branch (measured: 3x in the
+    # physical plan).  It is the aggregated, >=min_dup_docs-filtered dim
+    # — orders smaller than the corpus — so an eager localCheckpoint
+    # (the graph.py/quality_model.py convention) materializes it once
+    # and gives AQE exact size stats for the joins below.
+    dup = (
+        duplicated_spans(pos_spans, id_col, min_dup_docs)
+        .select("span_h")
+        .localCheckpoint(eager=True)
     )
 
-    dup_span_counts = dup_pos.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("dup_spans")
+    dup_pos = pos_spans.join(dup, "span_h")
+    # one explode serves both per-doc counts (distinct span starts =
+    # dup_spans, distinct word positions = covered_words — a single
+    # aggregation via two count-distincts, trading one Expand for a
+    # whole extra corpus-scale explode+join branch) and the covered-set
+    # relation the cleaning anti-join consumes.
+    exploded = dup_pos.select(
+        id_col,
+        "pos",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("wpos"),
     )
-    covered_counts = covered.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("covered_words")
+    dup_counts = exploded.groupBy(id_col).agg(
+        F.count_distinct(F.col("pos")).alias("dup_spans"),
+        F.count_distinct(F.col("wpos")).alias("covered_words"),
     )
+    covered = exploded.select(id_col, "wpos").distinct()
 
     words_pos = base.select(
         id_col, F.posexplode("_ws").alias("wpos", "word")
@@ -161,8 +173,7 @@ def span_dedup_stats(
         F.greatest(F.size("_ws") - (k - 1), F.lit(0)).alias("n_spans"),
     )
     out = (
-        stats.join(dup_span_counts, id_col, "left")
-        .join(covered_counts, id_col, "left")
+        stats.join(dup_counts, id_col, "left")
         .join(cleaned, id_col, "left")
         .select(
             id_col,

@@ -128,3 +128,77 @@ class TestFusedSketchPlan:
         assert "Exchange SinglePartition" not in plan
         # union of two pruned scans of the SAME files — no extra shuffle
         assert "Union" in plan
+
+
+class TestTokenFamilyPlans:
+    """r5 tokens family: spans, LM, BPE — the plan shapes that survive
+    a 100x scale-up, asserted against the executed plan."""
+
+    def _docs(self, spark, parquet_tables):
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": list(range(200)),
+                "text": [
+                    f"alpha beta gamma delta epsilon zeta eta theta doc{i % 7}"
+                    for i in range(200)
+                ],
+            }
+        )
+        path = f"{parquet_tables}/spandocs"
+        spark.createDataFrame(pdf).write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    def test_span_dedup_agg_runs_once_and_explodes_bounded(
+        self, spark, parquet_tables
+    ):
+        from aumos_drift_detector_spark.operators.spans import span_dedup_stats
+
+        docs = self._docs(spark, parquet_tables)
+        plan = _plan(span_dedup_stats(docs, "doc_id", "text", k=8))
+        # the 2-shuffle distinct-doc span aggregation must NOT appear in
+        # the main plan at all: it ran exactly once into the eager
+        # localCheckpoint (visible as an ExistingRDD scan instead)
+        import re
+
+        span_aggs = re.findall(
+            r"HashAggregate\(keys=\[span_h#\d+L?\], functions=\[count", plan
+        )
+        assert not span_aggs, "dup-span dim aggregation re-executed in a branch"
+        assert "Scan ExistingRDD" in plan
+        # the corpus-scale shingle explode appears at most twice (counts
+        # branch + covered/cleaning branch) — 3+ means a branch regressed
+        assert plan.count("posexplode(CASE WHEN") <= 2
+
+    def test_lm_no_cartesian_and_dims_broadcast(self, spark, parquet_tables):
+        from aumos_drift_detector_spark.operators.lm import lm_perplexity
+
+        docs = self._docs(spark, parquet_tables)
+        plan = _plan(lm_perplexity(docs, "doc_id", "text"))
+        assert "CartesianProduct" not in plan
+        # the 1-row corpus total rides the scalar-attach convention
+        # (broadcast nested loop), never a shuffled cross join
+        assert plan.count("BroadcastNestedLoopJoin") == 1
+        # count dims are vocab-sized: all five joins broadcast here
+        assert plan.count("BroadcastHashJoin") == 5
+        assert plan.count("SortMergeJoin") == 0
+
+    def test_bpe_encode_zipf_dedup_plan(self, spark, parquet_tables):
+        from aumos_drift_detector_spark.operators.bpe import (
+            DEMO_MERGES,
+            BpeTokenizer,
+            bpe_encode,
+        )
+
+        docs = self._docs(spark, parquet_tables)
+        plan = _plan(
+            bpe_encode(docs, "doc_id", "text", BpeTokenizer(tuple(DEMO_MERGES)))
+        )
+        # exactly one Python stage (the distinct-word encode) — the
+        # corpus NEVER crosses the Arrow boundary, only the vocab dim
+        assert plan.count("MapInPandas") == 1
+        # vocab dim joins back broadcast; reassembly is the only
+        # corpus-scale shuffle keyed by doc
+        assert plan.count("BroadcastHashJoin") == 1
+        assert plan.count("SortMergeJoin") == 0
