@@ -48,6 +48,11 @@ HEADLINE_QUERIES = [
     # r5: the corpus-prep composition (dedup -> decontaminate -> quality
     # gate -> resample -> split -> audit) as one timed plan
     "corpus_pipeline_documents",
+    # r5: the tokens family — exact-substring span dedup, LM perplexity
+    # scoring, and BPE encoding over the documents corpus
+    "span_dedup_documents",
+    "lm_perplexity_documents",
+    "bpe_encode_documents",
 ]
 
 
