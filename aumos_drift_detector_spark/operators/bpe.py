@@ -293,15 +293,8 @@ def encode_words(words_df: DataFrame, tokenizer: BpeTokenizer) -> DataFrame:
     ranks = tokenizer.ranks
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cache: dict[str, list[str]] = {}
         for pdf in batches:
-            toks = []
-            for w in pdf["w"]:
-                t = cache.get(w)
-                if t is None:
-                    t = _encode_kernel(w, ranks)
-                    cache[w] = t
-                toks.append(t)
+            toks = [_encode_kernel(w, ranks) for w in pdf["w"]]
             yield pd.DataFrame(
                 {"w": pdf["w"], "toks": toks, "n_tok": [len(t) for t in toks]}
             )

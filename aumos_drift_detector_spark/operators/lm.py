@@ -30,7 +30,12 @@ Scale plan:
     dims: unigram dims are broadcast-sized in any real corpus (vocab,
     not corpus, cardinality), bigram/trigram joins are shuffle joins
     co-partitioned on their join keys and AQE broadcasts them when a
-    filtered slice fits;
+    filtered slice fits.  One deployment caveat (measured in
+    scripts/diag_tokens_scale.py): the STATIC planner's pre-execution
+    estimate of the post-aggregation bigram/trigram dims is optimistic,
+    and on a corpus with little n-gram reuse it can pick a driver-killing
+    broadcast — pin ``spark.sql.autoBroadcastJoinThreshold`` to a bound
+    the driver can hold (AQE still re-converts with real runtime sizes);
   - the corpus total is a 1-row aggregate attached by broadcast
     cross-join (the repo-wide scalar-attach convention).
 
