@@ -79,11 +79,9 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .text import clean_words as _words
+
 END_OF_WORD = "</w>"
-
-
-def _words(text: Column) -> Column:
-    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
 
 
 # ---------------------------------------------------------------------------
@@ -131,10 +129,7 @@ def _train_kernel(
         if cnt < min_count:
             break
         merges.append((left, right))
-        vocab = {
-            (_apply_merge(s, left, right) if _has_pair(s, left, right) else s): f
-            for s, f in _merge_items(vocab, left, right)
-        }
+        vocab = dict(_merge_items(vocab, left, right))
     return merges
 
 

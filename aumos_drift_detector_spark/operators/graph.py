@@ -113,14 +113,16 @@ def connected_components(
     the input is pathological (the bound is ~log n; 50 covers any
     realistic graph).
     """
-    e = _canon(
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    )
+    raw = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # node universe from the RAW edges: _canon drops self-loops, and a
+    # node appearing ONLY in self-loop rows must still come out rooted at
+    # itself (the final left-join+coalesce below), not vanish
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
+        raw.select(F.col("src").alias("node"))
+        .unionByName(raw.select(F.col("dst").alias("node")))
         .distinct()
     )
+    e = _canon(raw)
     e = e.localCheckpoint(eager=True)
     prev = _signature(e)
     stable = 0

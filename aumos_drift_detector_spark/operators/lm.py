@@ -51,11 +51,9 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .text import clean_words as _words
+
 OOV_PSEUDO_COUNT = 0.5
-
-
-def _words(text: Column) -> Column:
-    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
 
 
 @dataclass(frozen=True)

@@ -39,12 +39,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import _base_hash
-
-
-def _clean_words(text: Column) -> Column:
-    """Lowercased whitespace words with empty tokens dropped (leading /
-    trailing / repeated whitespace would otherwise inject '' words)."""
-    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+from .text import clean_words as _clean_words
 
 
 def word_spans(words: Column, k: int) -> Column:
@@ -123,13 +118,15 @@ def span_dedup_stats(
     # needs it, and without truncation Catalyst re-executes the 2-shuffle
     # distinct-doc aggregation once PER branch (measured: 3x in the
     # physical plan).  It is the aggregated, >=min_dup_docs-filtered dim
-    # — orders smaller than the corpus — so an eager localCheckpoint
-    # (the graph.py/quality_model.py convention) materializes it once
-    # and gives AQE exact size stats for the joins below.
+    # — orders smaller than the corpus — so a LAZY localCheckpoint turns
+    # it into one shared RDD node (Scan ExistingRDD) that the first
+    # action computes exactly once; unlike graph.py's iterative loop
+    # (which needs eager=True to cut per-round lineage), nothing here
+    # justifies running a corpus-scale job at plan-CONSTRUCTION time.
     dup = (
         duplicated_spans(pos_spans, id_col, min_dup_docs)
         .select("span_h")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     dup_pos = pos_spans.join(dup, "span_h")

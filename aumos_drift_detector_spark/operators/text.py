@@ -29,6 +29,15 @@ def _word_array(text: Column) -> Column:
     return F.split(F.lower(text), r"\s+")
 
 
+def clean_words(text: Column) -> Column:
+    """Lowercased whitespace words with empty tokens dropped — THE word
+    tokenizer of the tokens family (span dedup, LM scoring, BPE), shared
+    so the three operators (and their DuckDB oracles) can never
+    desynchronize on the split regex or the empty-token rule.  Leading /
+    trailing / repeated whitespace would otherwise inject '' words."""
+    return F.filter(_word_array(text), lambda w: w != "")
+
+
 def lang_hits(text: Column, markers: list[str]) -> Column:
     """Number of words that are in the marker list (JVM array filter)."""
     marker_arr = F.array(*[F.lit(m) for m in markers])

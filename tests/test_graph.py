@@ -90,3 +90,19 @@ class TestDedupClusters:
             8: (8, True),
             9: (8, False),
         }
+
+
+def test_self_loop_only_nodes_root_themselves(spark):
+    """A node appearing ONLY in self-loop edges must come out rooted at
+    itself, not vanish (regression: _canon drops src==dst rows, and the
+    node universe used to be derived from the post-canon edges)."""
+    from aumos_drift_detector_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(5, 5), (1, 2), (7, 7), (2, 3)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 7: 7}
