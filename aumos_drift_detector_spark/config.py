@@ -49,13 +49,19 @@ class EngineConfig:
     # path for continuous columns at 10^12 rows (distinct ~ rows)
     exact_quantile_plan: str = "sketch"
     approx_percentile_accuracy: int = 10000
-    # adaptive sketch-collect: standalone KS/W1 first try ONE job (per-value
-    # sketch -> limit(cap+1) -> driver kernel); a result longer than the cap
-    # means the distinct-value set is data-proportional (continuous column at
-    # scale), so the operator falls back to the fully distributed
-    # prefix-sum plan, paying one extra aggregation pass only in that case.
-    # 0 disables the probe (always distributed).
-    sketch_collect_max_rows: int = 2_000_000
+    # adaptive sketch-collect: standalone PSI/KS/W1 materialize the per-value
+    # sketch once (persisted), count it, and run the driver kernel over the
+    # collected sketch when the count fits the cap; a larger count means the
+    # distinct-value set is data-proportional (continuous column at scale),
+    # so the operator falls back to the fully distributed prefix-sum plan
+    # REUSING the already-persisted sketch (no recomputation). 0 disables
+    # the probe (always distributed). The cap bounds driver memory, not
+    # cluster size: a sketch row is (double, long, long) ~24 B + overhead,
+    # so 8M rows is ~200 MB through Arrow — modest for any driver that can
+    # also hold broadcast joins, and it keeps columns with up to 8M distinct
+    # values (most physical measurements, prices, ids with reuse) on the
+    # one-pass plan.
+    sketch_collect_max_rows: int = 8_000_000
     salt_buckets: int = 16            # salting fan-out for skewed aggregations
     broadcast_dim_threshold: int = 10_000_000  # bytes; hint only
 

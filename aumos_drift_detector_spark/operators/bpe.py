@@ -80,6 +80,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import clean_words as _words
+from .text import widen_narrow_input as _widen
 
 END_OF_WORD = "</w>"
 
@@ -226,7 +227,7 @@ def _fold_merge(syms: Column, left: str, right: str) -> Column:
 def word_frequencies(df: DataFrame, text_col: str) -> DataFrame:
     """(w, freq) — the single corpus-scale shuffle of BPE training."""
     return (
-        df.select(F.explode(_words(F.col(text_col))).alias("w"))
+        _widen(df).select(F.explode(_words(F.col(text_col))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
@@ -294,7 +295,17 @@ def encode_words(words_df: DataFrame, tokenizer: BpeTokenizer) -> DataFrame:
                 {"w": pdf["w"], "toks": toks, "n_tok": [len(t) for t in toks]}
             )
 
-    return words_df.select("w").mapInPandas(
+    # Explicit repartition so the Python merge loop runs cluster-wide: the
+    # distinct-words exchange upstream carries only a few hundred KB, so
+    # AQE coalesces it to ONE post-shuffle partition and the whole vocab
+    # would encode serially in a single Python worker (measured 7.4s
+    # single-task stage at sf1.0 vs ~0.5s spread over 32).  A user
+    # repartition-by-num is exempt from AQE coalescing; the vocab dim is
+    # small, so the extra exchange is noise at any scale (guide §2.5:
+    # partition count must follow compute cost, not byte size — each row
+    # here costs a full merge loop, not a hash probe).
+    sc = words_df.sparkSession.sparkContext
+    return words_df.select("w").repartition(sc.defaultParallelism).mapInPandas(
         run, "w string, toks array<string>, n_tok bigint"
     )
 
@@ -311,7 +322,7 @@ def bpe_encode(
       keyed by document.
     """
     pos = (
-        df.select(F.col(id_col), _words(F.col(text_col)).alias("_ws"))
+        _widen(df).select(F.col(id_col), _words(F.col(text_col)).alias("_ws"))
         .where(F.size("_ws") > 0)
         .select(
             id_col,
@@ -359,7 +370,7 @@ def bpe_corpus_stats(
     partial aggregates).
     """
     gcols = list(group_cols)
-    pos = df.select(
+    pos = _widen(df).select(
         *gcols, F.explode(_words(F.col(text_col))).alias("w")
     )
     dim = encode_words(pos.select("w").distinct(), tokenizer)

@@ -497,11 +497,17 @@ def decontamination_pairs(
         word_shingles(F.col(text_col), shingle_size),
         lambda s: F.trim(s) != F.lit(""),
     )
-    t_posts = train_df.select(
+    # widen both sides before the CPU-heavy shingle build: a 1-2 split
+    # input serializes the explode (train) and the broadcast build (bench)
+    # on 1-2 cores (guide §2.5; measured 2.8s single-pair bench-side stage
+    # at sf1.0). No-op at real corpus scale.
+    from .text import widen_narrow_input as _widen_input
+
+    t_posts = _widen_input(train_df).select(
         F.col(id_col).alias("train_id"),
         F.explode(clean).alias("shingle"),
     )
-    b_posts = bench_df.select(
+    b_posts = _widen_input(bench_df).select(
         F.col(id_col).alias("bench_id"),
         clean.alias("sh"),
     ).select(

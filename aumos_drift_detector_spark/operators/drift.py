@@ -41,6 +41,38 @@ from aumos_drift_detector_spark.operators.profile import (
 _REF, _PROD = 0, 1
 
 
+def _materialize_sketch(per_value: DataFrame, cap: int):
+    """Persist the per-(group, v) sketch, count it, and collect it when it
+    fits ``cap``.
+
+    Returns ``(pdf, persisted)``: exactly one of the two is non-None.
+    Under the cap the sketch is collected (and unpersisted) — the caller
+    runs its driver kernel on ``pdf``. Over the cap the caller gets the
+    persisted DataFrame back and MUST route its distributed fallback
+    through it (and unpersist when done): the fallback plans consume the
+    sketch 3-4x (quantile boundaries, chunk totals, offset join), and
+    without the persist each consumer recomputes the corpus-scale
+    aggregation from scratch (measured 4x the bytes of the sketch itself
+    at sf1). The old ``limit(cap+1)`` probe also paid the full aggregation
+    and then threw 2M collected rows away on overflow; counting the
+    persisted sketch makes the probe's work the fallback's input instead.
+    """
+    from pyspark import StorageLevel
+
+    persisted = per_value.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n = persisted.count()
+    except Exception:
+        persisted.unpersist()
+        raise
+    if n <= cap:
+        try:
+            return persisted.toPandas(), None
+        finally:
+            persisted.unpersist()
+    return None, persisted
+
+
 def _cumulative_per_value(
     per_value: DataFrame,
     group_cols: Sequence[str],
@@ -340,14 +372,18 @@ def psi_test_grouped(
             F.sum(F.when(F.col("side") == _REF, 1).otherwise(0)).alias("c_ref"),
             F.sum(F.when(F.col("side") == _PROD, 1).otherwise(0)).alias("c_prod"),
         )
-        probe = per_value.limit(cap + 1).toPandas()
-        if len(probe) <= cap:
+        pdf_sketch, persisted = _materialize_sketch(per_value, cap)
+        if pdf_sketch is not None:
             return _verdict_frame(
                 _psi_verdicts_from_sketch(
-                    probe, group_cols, column, threshold, n_bins
+                    pdf_sketch, group_cols, column, threshold, n_bins
                 ),
                 group_cols,
             )
+        # overflow: the two-pass fallback below re-derives edges from the
+        # raw reference side (it never consumes the per-value sketch), so
+        # release the probe's cache rather than pin it for nothing
+        persisted.unpersist()
 
     edges = (
         quantile_edges_selection(ref_df, column, n_bins, group_cols, config)
@@ -567,30 +603,38 @@ def ks_test_grouped(
         F.sum(F.when(F.col("side") == _PROD, 1).otherwise(0)).alias("c_prod"),
     )
     # Adaptive plan (same probe as wasserstein_test_grouped): one job +
-    # driver ECDF sweep when the distinct-value set fits the cap, the fully
-    # distributed prefix-sum plan when it doesn't.
+    # driver ECDF sweep when the distinct-value set fits the cap; on
+    # overflow the fully distributed prefix-sum plan reuses the persisted
+    # sketch (its 3 consumers would otherwise each recompute the
+    # corpus-scale aggregation).
     cap = config.sketch_collect_max_rows
+    persisted = None
     if cap:
-        probe = per_value.limit(cap + 1).toPandas()
-        if len(probe) <= cap:
+        pdf_sketch, persisted = _materialize_sketch(per_value, cap)
+        if pdf_sketch is not None:
             return _verdict_frame(
                 _ks_verdicts_from_sketch(
-                    probe, group_cols, column, threshold, config
+                    pdf_sketch, group_cols, column, threshold, config
                 ),
                 group_cols,
             )
-    cum = _cumulative_per_value(per_value, group_cols, ["c_ref", "c_prod"])
-    stats = cum.groupBy(*group_cols).agg(
-        F.max("total_c_ref").alias("n_ref"),
-        F.max("total_c_prod").alias("n_prod"),
-        F.max(
-            F.abs(
-                F.try_divide(F.col("cum_c_ref"), F.col("total_c_ref"))
-                - F.try_divide(F.col("cum_c_prod"), F.col("total_c_prod"))
-            )
-        ).alias("d"),
-    )
-    pdf = stats.toPandas()
+        per_value = persisted
+    try:
+        cum = _cumulative_per_value(per_value, group_cols, ["c_ref", "c_prod"])
+        stats = cum.groupBy(*group_cols).agg(
+            F.max("total_c_ref").alias("n_ref"),
+            F.max("total_c_prod").alias("n_prod"),
+            F.max(
+                F.abs(
+                    F.try_divide(F.col("cum_c_ref"), F.col("total_c_ref"))
+                    - F.try_divide(F.col("cum_c_prod"), F.col("total_c_prod"))
+                )
+            ).alias("d"),
+        )
+        pdf = stats.toPandas()
+    finally:
+        if persisted is not None:
+            persisted.unpersist()
     verdicts = []
     for _, r in pdf.iterrows():
         key = tuple(r[g] for g in group_cols)
@@ -988,38 +1032,44 @@ def wasserstein_test_grouped(
     # whose every stage stays parallel, paying the probe as one extra
     # aggregation pass only in that case.
     cap = config.sketch_collect_max_rows
+    persisted = None
     if cap:
-        probe = per_value.limit(cap + 1).toPandas()
-        if len(probe) <= cap:
+        pdf_sketch, persisted = _materialize_sketch(per_value, cap)
+        if pdf_sketch is not None:
             verdicts = _w1_verdicts_from_sketch(
-                probe, group_cols, column, threshold
+                pdf_sketch, group_cols, column, threshold
             )
             return _verdict_frame(verdicts, group_cols)
-    cum = _cumulative_per_value(
-        per_value, group_cols, ["c_ref", "c_prod"], with_next_value=True
-    )
-    dist = cum.groupBy(*group_cols).agg(
-        F.sum(
-            F.abs(
-                F.try_divide(F.col("cum_c_ref"), F.col("total_c_ref"))
-                - F.try_divide(F.col("cum_c_prod"), F.col("total_c_prod"))
-            )
-            * F.coalesce(F.col("next_v") - F.col("v"), F.lit(0.0))
-        ).alias("w1"),
-        F.max("total_c_ref").alias("n_ref"),
-        F.max("total_c_prod").alias("n_prod"),
-    )
-    # reference-side IQR + population std for normalization
-    refstats = clean_values(ref_df, column, group_cols)
-    iqr_agg = refstats.groupBy(*group_cols).agg(
-        F.percentile(F.col("v"), F.array(F.lit(0.25), F.lit(0.75))).alias("q"),
-        F.stddev_pop("v").alias("std"),
-    )
-    joined = (
-        dist.join(iqr_agg, list(group_cols), "left") if group_cols
-        else dist.crossJoin(iqr_agg)
-    )
-    pdf = joined.toPandas()
+        per_value = persisted
+    try:
+        cum = _cumulative_per_value(
+            per_value, group_cols, ["c_ref", "c_prod"], with_next_value=True
+        )
+        dist = cum.groupBy(*group_cols).agg(
+            F.sum(
+                F.abs(
+                    F.try_divide(F.col("cum_c_ref"), F.col("total_c_ref"))
+                    - F.try_divide(F.col("cum_c_prod"), F.col("total_c_prod"))
+                )
+                * F.coalesce(F.col("next_v") - F.col("v"), F.lit(0.0))
+            ).alias("w1"),
+            F.max("total_c_ref").alias("n_ref"),
+            F.max("total_c_prod").alias("n_prod"),
+        )
+        # reference-side IQR + population std for normalization
+        refstats = clean_values(ref_df, column, group_cols)
+        iqr_agg = refstats.groupBy(*group_cols).agg(
+            F.percentile(F.col("v"), F.array(F.lit(0.25), F.lit(0.75))).alias("q"),
+            F.stddev_pop("v").alias("std"),
+        )
+        joined = (
+            dist.join(iqr_agg, list(group_cols), "left") if group_cols
+            else dist.crossJoin(iqr_agg)
+        )
+        pdf = joined.toPandas()
+    finally:
+        if persisted is not None:
+            persisted.unpersist()
     verdicts = []
     for _, r in pdf.iterrows():
         key = tuple(r[g] for g in group_cols)

@@ -52,6 +52,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import clean_words as _words
+from .text import widen_narrow_input as _widen
 
 OOV_PSEUDO_COUNT = 0.5
 
@@ -71,26 +72,50 @@ class NgramLM:
     total: DataFrame
 
 
-def train_ngram_lm(df: DataFrame, text_col: str) -> NgramLM:
-    """Build trigram/bigram/unigram count dims from a text corpus.
+def _split_words_base(df: DataFrame, text_col: str, *cols: str) -> DataFrame:
+    """(cols..., _ws words array), widened and LAZILY checkpointed.
 
-    One posexplode feeds all three aggregations; each groupBy shuffles
-    pre-combined partials keyed by its own n-gram tuple.
+    The split corpus feeds many branches (three count dims, the corpus
+    total, the scoring positions); without truncation each branch
+    re-scans the input and re-runs the regex split — and Catalyst pushes
+    derived filters below the widening repartition, serializing the split
+    at input-file parallelism once per branch (the span-dedup finding,
+    spans.py).  One materialized copy of the split corpus is the right
+    trade against 4-6 re-scan+re-split passes at any scale with local
+    disk to spare.
     """
-    pos = (
-        df.select(_words(F.col(text_col)).alias("_ws"))
-        .select("_ws", F.posexplode("_ws").alias("_p", "w"))
-        .select(
-            "w",
-            F.get("_ws", F.col("_p") - 1).alias("w_1"),
-            F.get("_ws", F.col("_p") - 2).alias("w_2"),
-        )
+    return (
+        _widen(df)
+        .select(*cols, _words(F.col(text_col)).alias("_ws"))
+        .localCheckpoint(eager=False)
     )
-    uni = pos.groupBy("w").agg(F.count(F.lit(1)).alias("u_c"))
+
+
+def _ngram_dims(base: DataFrame) -> NgramLM:
+    """Count dims from a checkpointed (_ws) base — see train_ngram_lm."""
+    pos = base.select(
+        "_ws", F.posexplode("_ws").alias("_p", "w")
+    ).select(
+        "w",
+        F.get("_ws", F.col("_p") - 1).alias("w_1"),
+        F.get("_ws", F.col("_p") - 2).alias("w_2"),
+    )
+    # Each dim is LAZILY checkpointed: the scoring joins consume bi twice
+    # (context and continuation projections) and every broadcast build
+    # would otherwise re-run the corpus-scale explode+aggregation that
+    # produced the dim.  The dims are vocab-cardinality — bytes next to
+    # the corpus — so one materialization each is strictly cheaper than
+    # one recomputation each.
+    uni = (
+        pos.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("u_c"))
+        .localCheckpoint(eager=False)
+    )
     bi = (
         pos.where(F.col("w_1").isNotNull())
         .groupBy(F.col("w_1").alias("w1"), F.col("w").alias("w2"))
         .agg(F.count(F.lit(1)).alias("b_c"))
+        .localCheckpoint(eager=False)
     )
     tri = (
         pos.where(F.col("w_2").isNotNull())
@@ -100,9 +125,24 @@ def train_ngram_lm(df: DataFrame, text_col: str) -> NgramLM:
             F.col("w").alias("w3"),
         )
         .agg(F.count(F.lit(1)).alias("t_c"))
+        .localCheckpoint(eager=False)
     )
-    total = uni.agg(F.sum("u_c").alias("total_tokens"))
+    # total token count == sum of unigram counts == sum of word-array
+    # sizes; the latter reads the checkpointed base directly instead of
+    # re-running the unigram aggregation branch
+    total = base.agg(
+        F.sum(F.size("_ws")).cast("long").alias("total_tokens")
+    )
     return NgramLM(uni=uni, bi=bi, tri=tri, total=total)
+
+
+def train_ngram_lm(df: DataFrame, text_col: str) -> NgramLM:
+    """Build trigram/bigram/unigram count dims from a text corpus.
+
+    One posexplode feeds all three aggregations; each groupBy shuffles
+    pre-combined partials keyed by its own n-gram tuple.
+    """
+    return _ngram_dims(_split_words_base(df, text_col))
 
 
 def stupid_backoff_scores(
@@ -124,9 +164,18 @@ def stupid_backoff_scores(
     trigram/bigram dims, so short-context positions back off without
     special-casing.
     """
+    return _scores_from_base(
+        _split_words_base(df, text_col, id_col), id_col, lm, alpha
+    )
+
+
+def _scores_from_base(
+    base: DataFrame, id_col: str, lm: NgramLM, alpha: float = 0.4
+) -> DataFrame:
+    """Scoring joins over a checkpointed (id, _ws) base — see
+    ``stupid_backoff_scores`` for the contract."""
     pos = (
-        df.select(F.col(id_col), _words(F.col(text_col)).alias("_ws"))
-        .where(F.size("_ws") > 0)
+        base.where(F.size("_ws") > 0)
         .select(id_col, "_ws", F.posexplode("_ws").alias("_p", "w"))
         .select(
             id_col,
@@ -230,5 +279,10 @@ def lm_perplexity(
     the rest of the corpus score high).  For the CCNet reference-corpus
     form, call train_ngram_lm on the clean corpus and
     stupid_backoff_scores on the candidate corpus.
+
+    Self-scoring shares ONE checkpointed split-words base between the
+    count dims and the scoring positions — the corpus is scanned and
+    split exactly once instead of once per aggregation branch.
     """
-    return stupid_backoff_scores(df, id_col, text_col, train_ngram_lm(df, text_col), alpha)
+    base = _split_words_base(df, text_col, id_col)
+    return _scores_from_base(base, id_col, _ngram_dims(base), alpha)

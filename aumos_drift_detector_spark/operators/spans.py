@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 
 from .dedup import _base_hash
 from .text import clean_words as _clean_words
+from .text import widen_narrow_input as _widen
 
 
 def word_spans(words: Column, k: int) -> Column:
@@ -57,6 +58,29 @@ def word_spans(words: Column, k: int) -> Column:
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def word_span_hashes(words: Column, k: int) -> Column:
+    """Array of xxhash64 span hashes at positions 0..n-k, hashing the
+    k-word SLICE directly (xxhash64 over an array column chains the
+    element hashes) instead of materializing the space-joined span string
+    first.  Words cannot contain whitespace (clean_words splits on \\s+),
+    so slice equality == joined-string equality and the hash groups the
+    same spans as ``word_spans`` + hash-of-string — without allocating
+    O(n_words x k) span-string bytes per document (guide §2.3: narrower
+    rows into the exchange; measured ~25% of the span explode stage's CPU
+    was concat_ws).  Only for the xxhash64 hash layer — the md5_60
+    oracle-replayable mode must hash the exact span string a SQL engine
+    can rebuild.
+    """
+    n = F.size(words)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.xxhash64(F.slice(words, i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
 
 
 def duplicated_spans(
@@ -106,13 +130,38 @@ def span_dedup_stats(
     ``graph.py``.
     """
     words_col = _clean_words(F.col(text_col))
-    base = df.select(
-        F.col(id_col), words_col.alias("_ws")
-    ).where(F.size("_ws") > 0)
+    # The split-words base feeds four branches (span explode x2, word
+    # positions, per-doc stats).  Without truncation each branch re-scans
+    # the input and re-runs the split — and Catalyst pushes the
+    # size(_ws)>0 filter BELOW the widening repartition, so the expensive
+    # split ran at input-file parallelism once per branch (measured 4
+    # separate 2-task scan stages ~7s of the sf1.0 wall).  A LAZY
+    # localCheckpoint materializes (id, words) exactly once, 32-wide,
+    # and every branch reads the shared RDD.  Storage is one split copy
+    # of the corpus (memory-and-disk) — the right trade against 4 full
+    # re-scan+re-split passes at any scale with local disk to spare.
+    base = (
+        _widen(df)
+        .select(F.col(id_col), words_col.alias("_ws"))
+        .localCheckpoint(eager=False)
+        .where(F.size("_ws") > 0)
+    )
 
-    pos_spans = base.select(
-        id_col, F.posexplode(word_spans(F.col("_ws"), k)).alias("pos", "span")
-    ).select(id_col, "pos", _base_hash(F.col("span"), hash_fn).alias("span_h"))
+    if hash_fn == "xxhash64":
+        # hash the k-word slices directly — no span-string materialization
+        pos_spans = base.select(
+            id_col,
+            F.posexplode(word_span_hashes(F.col("_ws"), k)).alias(
+                "pos", "span_h"
+            ),
+        )
+    else:
+        pos_spans = base.select(
+            id_col,
+            F.posexplode(word_spans(F.col("_ws"), k)).alias("pos", "span"),
+        ).select(
+            id_col, "pos", _base_hash(F.col("span"), hash_fn).alias("span_h")
+        )
 
     # The dup dim is the plan's reuse point: every downstream branch
     # needs it, and without truncation Catalyst re-executes the 2-shuffle
@@ -129,22 +178,32 @@ def span_dedup_stats(
         .localCheckpoint(eager=False)
     )
 
-    dup_pos = pos_spans.join(dup, "span_h")
-    # one explode serves both per-doc counts (distinct span starts =
-    # dup_spans, distinct word positions = covered_words — a single
-    # aggregation via two count-distincts, trading one Expand for a
-    # whole extra corpus-scale explode+join branch) and the covered-set
-    # relation the cleaning anti-join consumes.
-    exploded = dup_pos.select(
-        id_col,
-        "pos",
-        F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("wpos"),
+    # one row per (doc, duplicated span start): pos is unique per doc in
+    # pos_spans by construction, so dup_spans is a plain count — no
+    # count_distinct Expand needed.  Checkpointed because TWO branches
+    # consume it (the per-doc span count and the covered-positions
+    # explode) and it is the second span explode + dim join — the most
+    # expensive subtree after the dup aggregation itself.
+    dup_pos = pos_spans.join(dup, "span_h").localCheckpoint(eager=False)
+    dup_span_counts = dup_pos.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dup_spans")
     )
-    dup_counts = exploded.groupBy(id_col).agg(
-        F.count_distinct(F.col("pos")).alias("dup_spans"),
-        F.count_distinct(F.col("wpos")).alias("covered_words"),
+    # distinct word positions under any duplicated span; consumed by the
+    # covered_words count AND the cleaning anti-join — checkpoint once.
+    covered = (
+        dup_pos.select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (k - 1))
+            ).alias("wpos"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
     )
-    covered = exploded.select(id_col, "wpos").distinct()
+    covered_counts = covered.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("covered_words")
+    )
+    dup_counts = dup_span_counts.join(covered_counts, id_col, "inner")
 
     words_pos = base.select(
         id_col, F.posexplode("_ws").alias("wpos", "word")

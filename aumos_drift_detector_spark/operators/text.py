@@ -25,6 +25,26 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
+def widen_narrow_input(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a few-partition input up to the session's
+    default parallelism.
+
+    A small corpus arriving as one (or two) parquet splits serializes every
+    CPU-heavy text stage — word split, shingle/span explode, hashing — on
+    1-2 cores while the rest of the cluster idles (guide §2.5 input skew;
+    measured at sf1.0: the 5.9 MB documents file scanned as 2 tasks put
+    12s+ single-pair stages on the span-dedup critical path). At real
+    corpus scale the scan already has far more partitions than cores and
+    this branch never fires, so no shuffle is added to the 100-TB path.
+    Round-robin (keyless) repartition is deterministic under retries
+    because Spark sorts before repartitioning (SPARK-23207, on by default).
+    """
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def _word_array(text: Column) -> Column:
     return F.split(F.lower(text), r"\s+")
 
