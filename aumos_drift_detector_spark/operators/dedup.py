@@ -241,6 +241,30 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(word_grams(text, n))
 
 
+def word_shingle_hashes(text: Column, n: int = 3) -> Column:
+    """Distinct xxhash64 hashes of word n-gram slices, whitespace-only
+    shingles dropped — the hash-level twin of
+    ``filter(word_shingles(text, n), trim(s) != '')``.
+
+    Hashing the k-word SLICE directly (xxhash64 chains array elements)
+    skips materializing the space-joined shingle string entirely.  Words
+    from a ``\\s+`` split contain no whitespace, so slice equality ==
+    joined-string equality (concat_ws with a single space is injective
+    over such word sequences) and ``trim(joined) == ''`` holds exactly
+    when every word in the slice is ``''`` — replicated here as
+    ``NOT exists(w != '')``.  Distinct hash count == distinct shingle
+    count up to 64-bit collisions (the repo-wide xxhash64 tolerance).
+    """
+    words = F.split(text, r"\s+")
+    k = F.size(words) - F.lit(n - 1)
+    slices = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.slice(words, i, n),
+    )
+    kept = F.filter(slices, lambda s: F.exists(s, lambda w: w != F.lit("")))
+    return F.array_distinct(F.transform(kept, lambda s: F.xxhash64(s)))
+
+
 def _permutation_constants(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     rng = random.Random(seed)
     return [
@@ -493,10 +517,14 @@ def decontamination_pairs(
     # emits nothing) and keeps bench_total consistent with the filtered
     # set. Real shingles always contain non-space characters, so trim
     # never touches them.
-    clean = F.filter(
-        word_shingles(F.col(text_col), shingle_size),
-        lambda s: F.trim(s) != F.lit(""),
-    )
+    # Hash-keyed postings (word_shingle_hashes): the whitespace-only
+    # filter folds into the hash builder, the join key is 8 bytes instead
+    # of a shingle string, and no shingle strings are ever materialized —
+    # n_common / bench_total / containment are unchanged (hash equality
+    # stands in for string equality at the repo-wide xxhash64 collision
+    # tolerance; the DuckDB oracle replays raw-string containment and
+    # must agree).
+    clean = word_shingle_hashes(F.col(text_col), shingle_size)
     # widen both sides before the CPU-heavy shingle build: a 1-2 split
     # input serializes the explode (train) and the broadcast build (bench)
     # on 1-2 cores (guide §2.5; measured 2.8s single-pair bench-side stage

@@ -180,16 +180,21 @@ def span_dedup_stats(
 
     # one row per (doc, duplicated span start): pos is unique per doc in
     # pos_spans by construction, so dup_spans is a plain count — no
-    # count_distinct Expand needed.  Checkpointed because TWO branches
-    # consume it (the per-doc span count and the covered-positions
-    # explode) and it is the second span explode + dim join — the most
-    # expensive subtree after the dup aggregation itself.
+    # count_distinct Expand needed.  LAZY checkpoint, deliberately: the
+    # two consumer branches (per-doc span count, covered-positions
+    # explode) can race to compute the uncached subtree when their stages
+    # launch in the same wave — measured ~1-2s of duplicated work at
+    # sf1.0 — but eager=True materializes through queryExecution.toRdd
+    # WITHOUT adaptive execution, and the resulting static-planned
+    # checkpoint jobs measured 3-6x the CPU of the AQE-planned lazy path
+    # (51.9s vs 7.4s end to end).  The race is the cheaper evil.
     dup_pos = pos_spans.join(dup, "span_h").localCheckpoint(eager=False)
     dup_span_counts = dup_pos.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("dup_spans")
     )
     # distinct word positions under any duplicated span; consumed by the
-    # covered_words count AND the cleaning anti-join — checkpoint once.
+    # covered_words count AND the cleaning anti-join (same lazy-vs-eager
+    # trade as dup_pos above).
     covered = (
         dup_pos.select(
             id_col,

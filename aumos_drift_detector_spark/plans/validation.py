@@ -433,9 +433,22 @@ class ValidationRun:
 
         def job_violations():
             # dynamic partition overwrite: replaces exactly the (run, check,
-            # partition) dirs this batch produces — idempotent across retries
+            # partition) dirs this batch produces — idempotent across retries.
+            # Cluster the union by its output partition keys first (guide §6
+            # output sizing): without this every union-branch task writes its
+            # own sliver into every dir it touches (measured 95 files for
+            # 2.6 MB at the bench shape) and BOTH read-backs — the batch
+            # count and the end-of-run _violation_counts — pay one scan task
+            # per sliver (113-task, ~1.2 s stages). A 4-way doc_id salt keeps
+            # a hot check (e.g. every row violating token_equality) from
+            # serializing on one writer; the salt shuffles only skinny
+            # violation rows and never reaches the table schema.
+            _salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(4))
             (
-                all_vio.write.mode("overwrite")
+                all_vio.repartition(
+                    F.col("check_name"), F.col("partition_value"), _salt
+                )
+                .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("run_id", "check_name", "partition_value")
                 .parquet(f"{self.out_dir}/violations")

@@ -961,3 +961,78 @@ class TestPiiScrub:
         for c in ["n_email", "n_ip", "n_phone", "scrubbed_text"]:
             for a, b in zip(sdf[c].tolist(), odf[c].tolist()):
                 assert (pd.isna(a) and pd.isna(b)) or a == b, (c, a, b)
+
+
+class TestHashLevelShingleTwins:
+    """The hash-keyed shingle/span builders must group EXACTLY like their
+    string-materializing twins (same distinct counts, same filter
+    semantics, same cross-document equality structure) — they are physical
+    rewrites, not semantic variants."""
+
+    CASES = [
+        ("d1", "one two three four five"),
+        ("d2", "two three four five six"),      # overlaps d1's shingles
+        ("d3", "one two three four five"),      # exact copy of d1
+        ("d4", "one two"),                      # shorter than n -> whole-doc
+        ("d5", ""),                             # degenerate: '' shingle
+        ("d6", "   "),                          # whitespace-only
+        ("d7", None),                           # NULL text
+        ("d8", "  one  two three four  "),      # empty words from runs
+    ]
+
+    def test_word_shingle_hashes_match_string_shingles(self, spark):
+        from pyspark.sql import functions as F
+        from aumos_drift_detector_spark.operators.dedup import (
+            word_shingle_hashes,
+            word_shingles,
+        )
+
+        df = spark.createDataFrame(self.CASES, "doc_id string, text string")
+        s = df.select(
+            "doc_id",
+            F.filter(
+                word_shingles(F.col("text"), 3), lambda x: F.trim(x) != ""
+            ).alias("strs"),
+            word_shingle_hashes(F.col("text"), 3).alias("hashes"),
+        ).collect()
+        by_id = {r["doc_id"]: r for r in s}
+        # per-doc counts identical (bench_total parity)
+        for r in s:
+            strs = r["strs"] if r["strs"] is not None else []
+            hashes = r["hashes"] if r["hashes"] is not None else []
+            assert len(strs) == len(hashes), r["doc_id"]
+        # cross-doc equality structure: shared string shingles <-> shared hashes
+        import itertools
+
+        for a, b in itertools.combinations([c[0] for c in self.CASES], 2):
+            ra, rb = by_id[a], by_id[b]
+            n_str = len(set(ra["strs"] or []) & set(rb["strs"] or []))
+            n_hash = len(set(ra["hashes"] or []) & set(rb["hashes"] or []))
+            assert n_str == n_hash, (a, b, n_str, n_hash)
+
+    def test_word_span_hashes_match_string_spans(self, spark):
+        from pyspark.sql import functions as F
+        from aumos_drift_detector_spark.operators.spans import (
+            word_span_hashes,
+            word_spans,
+        )
+        from aumos_drift_detector_spark.operators.text import clean_words
+
+        df = spark.createDataFrame(self.CASES, "doc_id string, text string")
+        w = clean_words(F.col("text"))
+        rows = df.select(
+            "doc_id",
+            word_spans(w, 3).alias("strs"),
+            word_span_hashes(w, 3).alias("hashes"),
+        ).collect()
+        # positionally aligned: span i's hash is the hash of span i's words
+        all_pairs = {}
+        for r in rows:
+            strs = r["strs"] or []
+            hashes = r["hashes"] or []
+            assert len(strs) == len(hashes), r["doc_id"]
+            for s_, h_ in zip(strs, hashes):
+                # one hash per distinct span string, globally
+                assert all_pairs.setdefault(s_, h_) == h_, (r["doc_id"], s_)
+        # distinct spans got distinct hashes (no collision in fixture)
+        assert len(set(all_pairs.values())) == len(all_pairs)

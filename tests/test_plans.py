@@ -158,8 +158,8 @@ class TestTokenFamilyPlans:
         docs = self._docs(spark, parquet_tables)
         plan = _plan(span_dedup_stats(docs, "doc_id", "text", k=8))
         # the 2-shuffle distinct-doc span aggregation must NOT appear in
-        # the main plan at all: it ran exactly once into the eager
-        # localCheckpoint (visible as an ExistingRDD scan instead)
+        # the main plan at all: it feeds a LAZY localCheckpoint (computed
+        # once by the first action, visible as an ExistingRDD scan)
         import re
 
         span_aggs = re.findall(
