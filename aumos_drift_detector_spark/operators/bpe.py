@@ -376,10 +376,29 @@ def bpe_corpus_stats(
     dim = encode_words(pos.select("w").distinct(), tokenizer)
     merged = [left + right for left, right in tokenizer.merges]
     if merged:
-        fallback = F.size(F.filter("toks", lambda t: ~t.isin(merged)))
+        # Per-word fallback counts via a broadcast ANTI-join of the
+        # (vocab-sized) exploded dim tokens against the merged-token dim —
+        # NOT `~t.isin(merged)`: an IN-list embeds every merged token as a
+        # plan literal, which at a real 32k-50k-merge vocab is a 50k-
+        # literal expression tree (plan bloat / codegen limits).  The join
+        # stays dim-scale: tokens of DISTINCT words only, never a
+        # token-instance explode.
+        merged_dim = F.broadcast(
+            df.sparkSession.createDataFrame(
+                [(m,) for m in merged], "tok string"
+            )
+        )
+        fallback_counts = (
+            dim.select("w", F.explode("toks").alias("tok"))
+            .join(merged_dim, "tok", "left_anti")
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("n_fallback"))
+        )
+        dim = dim.join(fallback_counts, "w", "left").withColumn(
+            "n_fallback", F.coalesce("n_fallback", F.lit(0))
+        )
     else:
-        fallback = F.col("n_tok")
-    dim = dim.withColumn("n_fallback", fallback)
+        dim = dim.withColumn("n_fallback", F.col("n_tok"))
     joined = pos.join(dim, "w")
     if not gcols:
         joined = joined.withColumn("_g", F.lit(1))

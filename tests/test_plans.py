@@ -202,3 +202,28 @@ class TestTokenFamilyPlans:
         # corpus-scale shuffle keyed by doc
         assert plan.count("BroadcastHashJoin") == 1
         assert plan.count("SortMergeJoin") == 0
+
+    def test_bpe_corpus_stats_fallback_has_no_merge_literal_inlist(
+        self, spark, parquet_tables
+    ):
+        from aumos_drift_detector_spark.operators.bpe import (
+            DEMO_MERGES,
+            BpeTokenizer,
+            bpe_corpus_stats,
+        )
+
+        docs = self._docs(spark, parquet_tables)
+        plan = _plan(
+            bpe_corpus_stats(docs, "text", BpeTokenizer(tuple(DEMO_MERGES)))
+        )
+        # the char-fallback rate must come from a broadcast ANTI-join of
+        # the exploded DIM tokens against the merged-token dim, never an
+        # IN-list whose literal count grows with the vocab (a 50k-merge
+        # tokenizer would otherwise embed 50k string literals in the plan)
+        assert "LeftAnti" in plan
+        # no merged token appears as a plan literal inside an In/INSET
+        # predicate (spot-check the two most distinctive merge outputs)
+        import re
+
+        assert not re.search(r"\bIN(SET)?\b.*window</w>", plan)
+        assert "value</w>, " not in plan.split("LocalTableScan")[0]
