@@ -84,6 +84,12 @@ def _split_words_base(df: DataFrame, text_col: str, *cols: str) -> DataFrame:
     trade against 4-6 re-scan+re-split passes at any scale with local
     disk to spare.
     """
+    # LAZY on purpose: eager localCheckpoint materializes through
+    # queryExecution.toRdd outside the AQE/codegen path and measured 6.3 s
+    # vs 3.8 s for the self-scored query even though this chain is a plain
+    # scan->repartition->project (the same lazy-vs-eager result as
+    # spans.py).  The cost accepted: concurrent broadcast dim builds can
+    # race to fill the cache on first materialization.
     return (
         _widen(df)
         .select(*cols, _words(F.col(text_col)).alias("_ws"))

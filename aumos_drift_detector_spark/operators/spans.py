@@ -192,9 +192,12 @@ def span_dedup_stats(
     dup_span_counts = dup_pos.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("dup_spans")
     )
-    # distinct word positions under any duplicated span; consumed by the
-    # covered_words count AND the cleaning anti-join (same lazy-vs-eager
-    # trade as dup_pos above).
+    # distinct word positions under any duplicated span — consumed ONLY by
+    # the cleaning anti-join: covered_words needs no aggregation of its own
+    # because it equals n_words - cleaned_n_words exactly (the cleaning
+    # keeps precisely the uncovered positions), so the per-doc covered
+    # count and its join are derived in the final select instead.  One
+    # consumer also means no concurrent-recompute race on this frame.
     covered = (
         dup_pos.select(
             id_col,
@@ -205,10 +208,6 @@ def span_dedup_stats(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    covered_counts = covered.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("covered_words")
-    )
-    dup_counts = dup_span_counts.join(covered_counts, id_col, "inner")
 
     words_pos = base.select(
         id_col, F.posexplode("_ws").alias("wpos", "word")
@@ -233,18 +232,23 @@ def span_dedup_stats(
         F.size("_ws").alias("n_words"),
         F.greatest(F.size("_ws") - (k - 1), F.lit(0)).alias("n_spans"),
     )
+    # covered_words == n_words - cleaned_n_words: the anti-join keeps
+    # exactly the uncovered positions, a doc with zero covered words keeps
+    # a cleaned row counting all its words (-> 0), and a fully-covered doc
+    # has no cleaned row (coalesce 0 -> covered_words = n_words).
+    covered_words = (
+        F.col("n_words") - F.coalesce("cleaned_n_words", F.lit(0))
+    ).cast("long")
     out = (
-        stats.join(dup_counts, id_col, "left")
+        stats.join(dup_span_counts, id_col, "left")
         .join(cleaned, id_col, "left")
         .select(
             id_col,
             "n_words",
             "n_spans",
             F.coalesce("dup_spans", F.lit(0)).cast("long").alias("dup_spans"),
-            F.coalesce("covered_words", F.lit(0)).cast("long").alias("covered_words"),
-            F.round(
-                F.coalesce("covered_words", F.lit(0)) / F.col("n_words"), 6
-            ).alias("dup_span_frac"),
+            covered_words.alias("covered_words"),
+            F.round(covered_words / F.col("n_words"), 6).alias("dup_span_frac"),
             F.coalesce("cleaned_n_words", F.lit(0)).cast("long").alias("cleaned_n_words"),
             F.md5(F.coalesce("cleaned_text", F.lit(""))).alias("cleaned_md5"),
         )
