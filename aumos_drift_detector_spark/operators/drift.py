@@ -42,35 +42,26 @@ _REF, _PROD = 0, 1
 
 
 def _materialize_sketch(per_value: DataFrame, cap: int):
-    """Persist the per-(group, v) sketch, count it, and collect it when it
-    fits ``cap``.
+    """Probe the per-(group, v) sketch and collect it when it fits ``cap``.
 
     Returns ``(pdf, persisted)``: exactly one of the two is non-None.
-    Under the cap the sketch is collected (and unpersisted) — the caller
-    runs its driver kernel on ``pdf``. Over the cap the caller gets the
-    persisted DataFrame back and MUST route its distributed fallback
-    through it (and unpersist when done): the fallback plans consume the
-    sketch 3-4x (quantile boundaries, chunk totals, offset join), and
-    without the persist each consumer recomputes the corpus-scale
-    aggregation from scratch (measured 4x the bytes of the sketch itself
-    at sf1). The old ``limit(cap+1)`` probe also paid the full aggregation
-    and then threw 2M collected rows away on overflow; counting the
-    persisted sketch makes the probe's work the fallback's input instead.
+    Under the cap the probe (``limit(cap+1).toPandas()``) IS the full
+    collect — one job, no persist bookkeeping, identical cost to the
+    plain one-job plan at small scale (an earlier persist+count+collect
+    variant added ~0.4 s of cache-write and extra-job latency per query
+    at sf0.1 for no benefit).  On overflow the sketch is persisted and
+    handed to the caller's distributed fallback, which MUST route through
+    it (and unpersist when done): the fallback plans consume the sketch
+    3-4x (quantile boundaries, chunk totals, offset join), and without
+    the persist each consumer recomputes the corpus-scale aggregation
+    from scratch (measured 4x the bytes of the sketch itself).
     """
     from pyspark import StorageLevel
 
-    persisted = per_value.persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        n = persisted.count()
-    except Exception:
-        persisted.unpersist()
-        raise
-    if n <= cap:
-        try:
-            return persisted.toPandas(), None
-        finally:
-            persisted.unpersist()
-    return None, persisted
+    pdf = per_value.limit(cap + 1).toPandas()
+    if len(pdf) <= cap:
+        return pdf, None
+    return None, per_value.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def _cumulative_per_value(

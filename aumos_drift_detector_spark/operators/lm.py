@@ -53,6 +53,7 @@ from pyspark.sql import functions as F
 
 from .text import clean_words as _words
 from .text import widen_narrow_input as _widen
+from .text import worth_materializing as _worth_ckpt
 
 OOV_PSEUDO_COUNT = 0.5
 
@@ -81,8 +82,10 @@ def _split_words_base(df: DataFrame, text_col: str, *cols: str) -> DataFrame:
     derived filters below the widening repartition, serializing the split
     at input-file parallelism once per branch (the span-dedup finding,
     spans.py).  One materialized copy of the split corpus is the right
-    trade against 4-6 re-scan+re-split passes at any scale with local
-    disk to spare.
+    trade against 4-6 re-scan+re-split passes once the corpus is past a
+    few MB; below that (``worth_materializing``) the fixed
+    materialization latency outweighs recompute and the plain branching
+    plan wins (measured +1.5 s at sf0.1 for unconditional checkpoints).
     """
     # LAZY on purpose: eager localCheckpoint materializes through
     # queryExecution.toRdd outside the AQE/codegen path and measured 6.3 s
@@ -90,15 +93,18 @@ def _split_words_base(df: DataFrame, text_col: str, *cols: str) -> DataFrame:
     # scan->repartition->project (the same lazy-vs-eager result as
     # spans.py).  The cost accepted: concurrent broadcast dim builds can
     # race to fill the cache on first materialization.
-    return (
-        _widen(df)
-        .select(*cols, _words(F.col(text_col)).alias("_ws"))
-        .localCheckpoint(eager=False)
-    )
+    base = _widen(df).select(*cols, _words(F.col(text_col)).alias("_ws"))
+    if _worth_ckpt(df):
+        base = base.localCheckpoint(eager=False)
+    return base
 
 
-def _ngram_dims(base: DataFrame) -> NgramLM:
-    """Count dims from a checkpointed (_ws) base — see train_ngram_lm."""
+def _ngram_dims(base: DataFrame, ckpt: bool = True) -> NgramLM:
+    """Count dims from a (possibly checkpointed) (_ws) base — see
+    train_ngram_lm."""
+
+    def _maybe(d: DataFrame) -> DataFrame:
+        return d.localCheckpoint(eager=False) if ckpt else d
     pos = base.select(
         "_ws", F.posexplode("_ws").alias("_p", "w")
     ).select(
@@ -112,18 +118,13 @@ def _ngram_dims(base: DataFrame) -> NgramLM:
     # produced the dim.  The dims are vocab-cardinality — bytes next to
     # the corpus — so one materialization each is strictly cheaper than
     # one recomputation each.
-    uni = (
-        pos.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("u_c"))
-        .localCheckpoint(eager=False)
-    )
-    bi = (
+    uni = _maybe(pos.groupBy("w").agg(F.count(F.lit(1)).alias("u_c")))
+    bi = _maybe(
         pos.where(F.col("w_1").isNotNull())
         .groupBy(F.col("w_1").alias("w1"), F.col("w").alias("w2"))
         .agg(F.count(F.lit(1)).alias("b_c"))
-        .localCheckpoint(eager=False)
     )
-    tri = (
+    tri = _maybe(
         pos.where(F.col("w_2").isNotNull())
         .groupBy(
             F.col("w_2").alias("w1"),
@@ -131,7 +132,6 @@ def _ngram_dims(base: DataFrame) -> NgramLM:
             F.col("w").alias("w3"),
         )
         .agg(F.count(F.lit(1)).alias("t_c"))
-        .localCheckpoint(eager=False)
     )
     # total token count == sum of unigram counts == sum of word-array
     # sizes; the latter reads the checkpointed base directly instead of
@@ -148,7 +148,9 @@ def train_ngram_lm(df: DataFrame, text_col: str) -> NgramLM:
     One posexplode feeds all three aggregations; each groupBy shuffles
     pre-combined partials keyed by its own n-gram tuple.
     """
-    return _ngram_dims(_split_words_base(df, text_col))
+    return _ngram_dims(
+        _split_words_base(df, text_col), ckpt=_worth_ckpt(df)
+    )
 
 
 def stupid_backoff_scores(
@@ -291,4 +293,6 @@ def lm_perplexity(
     split exactly once instead of once per aggregation branch.
     """
     base = _split_words_base(df, text_col, id_col)
-    return _scores_from_base(base, id_col, _ngram_dims(base), alpha)
+    return _scores_from_base(
+        base, id_col, _ngram_dims(base, ckpt=_worth_ckpt(df)), alpha
+    )

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from .dedup import _base_hash
 from .text import clean_words as _clean_words
 from .text import widen_narrow_input as _widen
+from .text import worth_materializing as _worth_ckpt
 
 
 def word_spans(words: Column, k: int) -> Column:
@@ -139,13 +140,14 @@ def span_dedup_stats(
     # localCheckpoint materializes (id, words) exactly once, 32-wide,
     # and every branch reads the shared RDD.  Storage is one split copy
     # of the corpus (memory-and-disk) — the right trade against 4 full
-    # re-scan+re-split passes at any scale with local disk to spare.
-    base = (
-        _widen(df)
-        .select(F.col(id_col), words_col.alias("_ws"))
-        .localCheckpoint(eager=False)
-        .where(F.size("_ws") > 0)
-    )
+    # re-scan+re-split passes once the corpus is past a few MB; below
+    # that (``worth_materializing``) the fixed materialization latency
+    # outweighs recompute and the plain branching plan wins.
+    ckpt = _worth_ckpt(df)
+    base = _widen(df).select(F.col(id_col), words_col.alias("_ws"))
+    if ckpt:
+        base = base.localCheckpoint(eager=False)
+    base = base.where(F.size("_ws") > 0)
 
     if hash_fn == "xxhash64":
         # hash the k-word slices directly — no span-string materialization
@@ -188,26 +190,24 @@ def span_dedup_stats(
     # WITHOUT adaptive execution, and the resulting static-planned
     # checkpoint jobs measured 3-6x the CPU of the AQE-planned lazy path
     # (51.9s vs 7.4s end to end).  The race is the cheaper evil.
-    dup_pos = pos_spans.join(dup, "span_h").localCheckpoint(eager=False)
+    dup_pos = pos_spans.join(dup, "span_h")
+    if ckpt:
+        dup_pos = dup_pos.localCheckpoint(eager=False)
     dup_span_counts = dup_pos.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("dup_spans")
     )
     # distinct word positions under any duplicated span — consumed ONLY by
-    # the cleaning anti-join: covered_words needs no aggregation of its own
-    # because it equals n_words - cleaned_n_words exactly (the cleaning
-    # keeps precisely the uncovered positions), so the per-doc covered
-    # count and its join are derived in the final select instead.  One
-    # consumer also means no concurrent-recompute race on this frame.
-    covered = (
-        dup_pos.select(
-            id_col,
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + (k - 1))
-            ).alias("wpos"),
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    # the cleaning anti-join (so no checkpoint: a single consumer reuses
+    # nothing): covered_words needs no aggregation of its own because it
+    # equals n_words - cleaned_n_words exactly (the cleaning keeps
+    # precisely the uncovered positions), so the per-doc covered count and
+    # its join are derived in the final select instead.
+    covered = dup_pos.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + (k - 1))
+        ).alias("wpos"),
+    ).distinct()
 
     words_pos = base.select(
         id_col, F.posexplode("_ws").alias("wpos", "word")

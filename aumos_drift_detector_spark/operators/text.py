@@ -38,11 +38,44 @@ def widen_narrow_input(df: DataFrame) -> DataFrame:
     this branch never fires, so no shuffle is added to the 100-TB path.
     Round-robin (keyless) repartition is deterministic under retries
     because Spark sorts before repartitioning (SPARK-23207, on by default).
+
+    Size-gated by the same Catalyst estimate as the checkpoint gate: on a
+    sub-MB input the repartition's fixed exchange latency exceeds what the
+    extra cores can win back (a 0.6 MB corpus splits in well under a
+    second even 2-wide — measured at sf0.1), so tiny inputs keep their
+    natural plan.
     """
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
-    return df
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    if not worth_materializing(df):
+        return df
+    return df.repartition(sc.defaultParallelism)
+
+
+#: Inputs estimated below this are "small": a checkpoint's fixed cost
+#: (one materialization job + RDD storage writes, ~0.5-1.5 s of latency)
+#: exceeds the cost of just re-running the split/explode per branch,
+#: which for a few-MB corpus is sub-second even at low parallelism
+#: (measured at sf0.1: unconditional checkpoints cost lm +1.5 s and
+#: span dedup +1.4 s against recompute).
+CHECKPOINT_MIN_BYTES = 4 << 20
+
+
+def worth_materializing(df: DataFrame, min_bytes: int = CHECKPOINT_MIN_BYTES) -> bool:
+    """Cost-based gate for corpus-scale localCheckpoints — the same
+    Catalyst size statistic the validation pass's token-histogram plan
+    choice reads (free: no extra job).  Unknown stats resolve to True:
+    at real scale re-computation is the expensive branch, so "huge until
+    proven small" is the safe default.
+    """
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return True
+    return size >= min_bytes
 
 
 def _word_array(text: Column) -> Column:
